@@ -1,0 +1,53 @@
+"""Model registry + constructor.
+
+TPU equivalent of `net_factory` / `BCP_net` (`code/networks/net_factory.py`):
+string -> configured flax module. There is no .cuda()/teacher-detach here —
+device placement is jit's job and the teacher is just a second params
+pytree (`bcp_tpu.train.state`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+from bcp_tpu.models.unet2d import UNet2D
+from bcp_tpu.models.vnet3d import VNet3D
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+@register("unet")
+def _unet(class_num: int = 4, mode: str = "train", **kw):
+    """`net_factory('unet')` / `BCP_net` -> UNet_2d (`net_factory.py:6-7,14-19`).
+    (The reference UNet has dropout always on in train mode.)"""
+    return UNet2D(n_classes=class_num, **kw)
+
+
+@register("VNet")
+def _vnet(class_num: int = 2, mode: str = "train", **kw):
+    """`net_factory('VNet')` (`net_factory.py:8-11`): batchnorm, dropout on
+    for training, off for test-mode construction."""
+    return VNet3D(n_classes=class_num, normalization="batchnorm",
+                  has_dropout=(mode == "train"), **kw)
+
+
+@register("VNet_pancreas")
+def _vnet_pancreas(class_num: int = 2, mode: str = "train", **kw):
+    """`pancreas/Vnet.py:92-194` + `create_Vnet` (`pancreas/dataloaders.py:12-19`):
+    instancenorm, no dropout by default."""
+    return VNet3D(n_classes=class_num, normalization="instancenorm",
+                  has_dropout=False, **kw)
+
+
+def create_model(net_type: str, class_num: int, mode: str = "train", **kw):
+    if net_type not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown net_type {net_type!r}; have {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[net_type](class_num=class_num, mode=mode, **kw)

@@ -1,0 +1,87 @@
+"""UNet2D — the 2D segmentation net for ACDC.
+
+Re-design of the reference U-Net (`code/networks/unet.py:15-257`, itself
+from PyMIC): encoder = 5 ConvBlocks (conv-BN-LeakyReLU-dropout-conv-BN-
+LeakyReLU) with 2x2 maxpool downsampling, channels [16,32,64,128,256] and
+per-level dropout [0.05,0.1,0.2,0.3,0.5]; decoder = 1x1-conv channel
+reduction + bilinear(align_corners=True) 2x upsample + *concat* skips +
+ConvBlock (dropout 0); 3x3 output conv.
+
+Divergences (documented): channels-last NHWC layout; the dead projection /
+prediction / selector heads (`unet.py:162-190`) are omitted (SURVEY.md C24).
+``__call__`` returns ``(logits, x_last)`` — `UNet` semantics
+(`unet.py:104-116`); ACDC's `UNet_2d` simply drops the second output.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+from flax import linen as nn
+
+from bcp_tpu.models.layers import conv, upsample2x_align_corners
+
+
+class ConvBlock(nn.Module):
+    """`ConvBlock` (`networks/unet.py:15-30`). Element-wise dropout sits
+    between the two conv-BN-LeakyReLU pairs."""
+    features: int
+    dropout_p: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = conv(self.features, (3, 3), name="conv0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn0")(x)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+        x = nn.Dropout(self.dropout_p, name="dropout")(
+            x, deterministic=not train)
+        x = conv(self.features, (3, 3), name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(x)
+        return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class UpBlock(nn.Module):
+    """`UpBlock` (`networks/unet.py:45-57`): 1x1 conv -> bilinear 2x
+    (align_corners=True) -> concat skip -> ConvBlock."""
+    skip_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x_deep, x_skip, train: bool):
+        x = conv(self.skip_features, (1, 1), name="conv1x1")(x_deep)
+        x = upsample2x_align_corners(x)
+        x = jax.numpy.concatenate([x_skip, x], axis=-1)
+        return ConvBlock(self.out_features, 0.0, name="conv")(x, train)
+
+
+class UNet2D(nn.Module):
+    n_classes: int = 4
+    feature_chns: Sequence[int] = (16, 32, 64, 128, 256)
+    dropout: Sequence[float] = (0.05, 0.1, 0.2, 0.3, 0.5)
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        ft, dp = self.feature_chns, self.dropout
+
+        # ---- encoder (`unet.py:80-86`)
+        x0 = ConvBlock(ft[0], dp[0], name="in_conv")(x, train)
+        x1 = ConvBlock(ft[1], dp[1], name="down1")(
+            nn.max_pool(x0, (2, 2), (2, 2)), train)
+        x2 = ConvBlock(ft[2], dp[2], name="down2")(
+            nn.max_pool(x1, (2, 2), (2, 2)), train)
+        x3 = ConvBlock(ft[3], dp[3], name="down3")(
+            nn.max_pool(x2, (2, 2), (2, 2)), train)
+        x4 = ConvBlock(ft[4], dp[4], name="down4")(
+            nn.max_pool(x3, (2, 2), (2, 2)), train)
+
+        # ---- decoder (`unet.py:104-116`): concat skips
+        y = UpBlock(ft[3], ft[3], name="up1")(x4, x3, train)
+        y = UpBlock(ft[2], ft[2], name="up2")(y, x2, train)
+        y = UpBlock(ft[1], ft[1], name="up3")(y, x1, train)
+        x_last = UpBlock(ft[0], ft[0], name="up4")(y, x0, train)
+        logits = conv(self.n_classes, (3, 3), name="out_conv")(x_last)
+        return logits, x_last

@@ -1,0 +1,138 @@
+"""VNet3D — the 3D segmentation net for LA and Pancreas.
+
+TPU-first re-design of the reference V-Net (`code/networks/VNet.py:145-290`
+and the pancreas variant `code/pancreas/Vnet.py:92-194`, which share the
+same topology and differ only in normalization):
+
+encoder: 5 conv stages ([1,2,3,3,3] convs of 3^3) with stride-2 2^3-conv
+downsampling 16->32->64->128->256; decoder: 2^3 transposed-conv upsampling
+with *additive* skips and [3,3,2,1] conv stages; 1^3 output conv; channel
+dropout p=0.5 on the bottleneck (x5) and the last decoder feature (x9) when
+``has_dropout``. Optional residual conv blocks (`VNet.py:35-65`).
+
+Deliberate divergences from the reference (documented):
+- channels-last NDHWC layout (MXU-friendly; reference is NCDHW).
+- the dead projection/prediction/contrastive-selector heads
+  (`VNet.py:250-278`) are omitted — they are never trained or called by any
+  entry point (SURVEY.md C24).
+- ``__call__`` returns ``(logits, x8_up)``; the reference's second output
+  (maxpooled x5, `VNet.py:289`) feeds only the dead contrastive path, while
+  x8_up is what KDE_demo actually consumes (`KDE_demo.py:165`).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+from flax import linen as nn
+
+from bcp_tpu.models.layers import (
+    Norm,
+    conv,
+    conv_transpose,
+    spatial_broadcast_dims,
+)
+
+
+class ConvStage(nn.Module):
+    """`ConvBlock` (`networks/VNet.py:6-32`): n x (3^3 conv -> norm -> relu)."""
+    n_stages: int
+    features: int
+    normalization: str = "none"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(self.n_stages):
+            x = conv(self.features, (3, 3, 3), name=f"conv{i}")(x)
+            x = Norm(self.normalization, name=f"norm{i}")(x, train)
+            x = nn.relu(x)
+        return x
+
+
+class ResidualConvStage(nn.Module):
+    """`ResidualConvBlock` (`networks/VNet.py:35-65`): relu after the last
+    norm is deferred until after the residual add."""
+    n_stages: int
+    features: int
+    normalization: str = "none"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        for i in range(self.n_stages):
+            x = conv(self.features, (3, 3, 3), name=f"conv{i}")(x)
+            x = Norm(self.normalization, name=f"norm{i}")(x, train)
+            if i != self.n_stages - 1:
+                x = nn.relu(x)
+        return nn.relu(x + residual)
+
+
+class DownBlock(nn.Module):
+    """`DownsamplingConvBlock` (`VNet.py:68-92`): 2^3 conv stride 2."""
+    features: int
+    normalization: str = "none"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = conv(self.features, (2, 2, 2), strides=(2, 2, 2),
+                 padding="VALID", name="conv")(x)
+        x = Norm(self.normalization, name="norm")(x, train)
+        return nn.relu(x)
+
+
+class UpBlock(nn.Module):
+    """`UpsamplingDeconvBlock` (`VNet.py:95-119`): 2^3 deconv stride 2."""
+    features: int
+    normalization: str = "none"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = conv_transpose(self.features, (2, 2, 2), (2, 2, 2),
+                           name="deconv")(x)
+        x = Norm(self.normalization, name="norm")(x, train)
+        return nn.relu(x)
+
+
+class VNet3D(nn.Module):
+    n_classes: int = 2
+    n_filters: int = 16
+    normalization: str = "batchnorm"   # LA: batchnorm (net_factory.py:9);
+    # pancreas: instancenorm (pancreas/Vnet.py:93)
+    has_dropout: bool = False
+    has_residual: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        nf, norm = self.n_filters, self.normalization
+        stage = ResidualConvStage if self.has_residual else ConvStage
+
+        # ---- encoder (`VNet.py:167-186`)
+        x1 = stage(1, nf, norm, name="block_one")(x, train)
+        x1_dw = DownBlock(2 * nf, norm, name="block_one_dw")(x1, train)
+        x2 = stage(2, 2 * nf, norm, name="block_two")(x1_dw, train)
+        x2_dw = DownBlock(4 * nf, norm, name="block_two_dw")(x2, train)
+        x3 = stage(3, 4 * nf, norm, name="block_three")(x2_dw, train)
+        x3_dw = DownBlock(8 * nf, norm, name="block_three_dw")(x3, train)
+        x4 = stage(3, 8 * nf, norm, name="block_four")(x3_dw, train)
+        x4_dw = DownBlock(16 * nf, norm, name="block_four_dw")(x4, train)
+        x5 = stage(3, 16 * nf, norm, name="block_five")(x4_dw, train)
+        if self.has_dropout:
+            x5 = nn.Dropout(0.5, broadcast_dims=spatial_broadcast_dims(
+                x5.ndim), name="enc_dropout")(x5, deterministic=not train)
+
+        # ---- decoder (`VNet.py:213-239`): additive skips
+        x5_up = UpBlock(8 * nf, norm, name="block_five_up")(x5, train) + x4
+        x6 = stage(3, 8 * nf, norm, name="block_six")(x5_up, train)
+        x6_up = UpBlock(4 * nf, norm, name="block_six_up")(x6, train) + x3
+        x7 = stage(3, 4 * nf, norm, name="block_seven")(x6_up, train)
+        x7_up = UpBlock(2 * nf, norm, name="block_seven_up")(x7, train) + x2
+        x8 = stage(2, 2 * nf, norm, name="block_eight")(x7_up, train)
+        x8_up = UpBlock(nf, norm, name="block_eight_up")(x8, train) + x1
+        x9 = stage(1, nf, norm, name="block_nine")(x8_up, train)
+        if self.has_dropout:
+            x9 = nn.Dropout(0.5, broadcast_dims=spatial_broadcast_dims(
+                x9.ndim), name="dec_dropout")(x9, deterministic=not train)
+        out_seg = conv(self.n_classes, (1, 1, 1), name="out_conv")(x9)
+        return out_seg, x8_up

@@ -1,0 +1,172 @@
+"""Connected components + largest-CC NMS, on device.
+
+The reference cleans teacher pseudo-labels with skimage's CPU
+``label``/``bincount`` **every self-train iteration**, forcing a
+device->host->device round-trip in the hot loop (`LA_BCP_train.py:65-77`,
+`ACDC_BCP_train.py:89-109`, `pancreas/pancreas_utils.py:284-296`). Here the
+whole NMS stays resident on TPU inside the jitted train step:
+
+1. Seed every foreground voxel with a unique label (flat index + 1).
+2. Iteratively propagate the *maximum* label through the foreground with a
+   connectivity-shaped max-filter until a fixpoint (``lax.while_loop``) —
+   after convergence every component carries one label. The max-filter is
+   built from shifted ``jnp.maximum``s, a pure VPU pipeline.
+3. Component sizes via one scatter-add histogram; keep the argmax component
+   (ties resolve to the lowest label, like ``np.argmax(np.bincount(...))``).
+
+Connectivity matches skimage's convention (``label(x, connectivity=c)``:
+voxels are neighbours if they differ in at most ``c`` axes):
+LA uses the skimage default = full (`LA_BCP_train.py:71`), pancreas uses
+``connect_mode=2`` (`pancreas/pancreas_utils.py:289`), ACDC 2D uses the 2D
+default = 2 (8-connectivity, `ACDC_BCP_train.py:99`).
+
+A host-side exact fallback (scipy.ndimage) is in
+``bcp_tpu.eval.metrics.host_largest_cc`` for offline evaluation parity.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _shift_max(x: jax.Array, axis: int) -> jax.Array:
+    """max(x, x shifted +-1 along axis), zero-padded at the borders."""
+    n = x.shape[axis]
+    lo = jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)
+    hi = jax.lax.slice_in_dim(x, 1, n, axis=axis)
+    pad = [(0, 0)] * x.ndim
+    pad_lo, pad_hi = list(pad), list(pad)
+    pad_lo[axis] = (1, 0)
+    pad_hi[axis] = (0, 1)
+    fwd = jnp.pad(lo, pad_lo)   # neighbour at index-1
+    bwd = jnp.pad(hi, pad_hi)   # neighbour at index+1
+    return jnp.maximum(x, jnp.maximum(fwd, bwd))
+
+
+def _neighbor_max(x: jax.Array, connectivity: int) -> jax.Array:
+    """Max over the connectivity neighbourhood (including self)."""
+    ndim = x.ndim
+    if connectivity >= ndim:
+        # Full box is separable: sweep each axis in turn.
+        for ax in range(ndim):
+            x = _shift_max(x, ax)
+        return x
+    if connectivity == 1:
+        out = x
+        for ax in range(ndim):
+            out = jnp.maximum(out, _shift_max(x, ax))
+        return out
+    # 1 < connectivity < ndim (e.g. 18-connectivity in 3D): union of all
+    # separable boxes over `connectivity`-sized axis subsets.
+    out = x
+    for axes in itertools.combinations(range(ndim), connectivity):
+        box = x
+        for ax in axes:
+            box = _shift_max(box, ax)
+        out = jnp.maximum(out, box)
+    return out
+
+
+@partial(jax.jit, static_argnames=("connectivity", "inner_steps"))
+def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
+                         inner_steps: int = 4) -> jax.Array:
+    """Label connected components of a binary mask (one sample, no batch).
+
+    Returns int32 labels, 0 = background; component labels are arbitrary
+    distinct positive ints. ``inner_steps`` propagation sweeps run between
+    fixpoint checks to amortise the ``while_loop`` condition.
+    """
+    if connectivity is None:
+        connectivity = mask.ndim
+    fg = mask.astype(jnp.int32) > 0
+    seeds = (jnp.arange(1, mask.size + 1, dtype=jnp.int32)
+             .reshape(mask.shape))
+    labels = jnp.where(fg, seeds, 0)
+
+    def propagate(lab):
+        for _ in range(inner_steps):
+            lab = jnp.where(fg, _neighbor_max(lab, connectivity), 0)
+        return lab
+
+    def cond(state):
+        lab, prev_changed = state
+        return prev_changed
+
+    def body(state):
+        lab, _ = state
+        new = propagate(lab)
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
+    return labels
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def largest_cc(mask: jax.Array,
+               connectivity: Optional[int] = None) -> jax.Array:
+    """Keep only the largest connected component (one sample).
+
+    Matches `LargestCC_pancreas` (`LA_BCP_train.py:65-77`): if the mask is
+    empty it is returned unchanged; size ties resolve to the lowest label.
+    """
+    labels = connected_components(mask, connectivity)
+    counts = jnp.zeros((mask.size + 1,), jnp.int32)
+    counts = counts.at[labels.ravel()].add(1)
+    counts = counts.at[0].set(0)
+    best = jnp.argmax(counts)
+    keep = (labels == best) & (labels > 0)
+    return keep.astype(jnp.int32)
+
+
+def largest_cc_batch(masks: jax.Array,
+                     connectivity: Optional[int] = None) -> jax.Array:
+    """vmapped ``largest_cc`` over a leading batch axis."""
+    return jax.vmap(lambda m: largest_cc(m, connectivity))(masks)
+
+
+def largest_cc_per_class(seg: jax.Array, n_classes: int,
+                         connectivity: Optional[int] = None) -> jax.Array:
+    """Per-class largest-CC for multi-class 2D maps, batched.
+
+    Matches `get_ACDC_2DLargestCC` (`ACDC_BCP_train.py:89-109`): for each
+    class c in 1..n_classes-1 keep the largest component of ``seg == c``
+    (empty classes pass through as zeros), then sum the per-class maps.
+    """
+    def one(sample):
+        out = jnp.zeros_like(sample)
+        for c in range(1, n_classes):
+            binary = (sample == c).astype(jnp.int32)
+            out = out + largest_cc(binary, connectivity) * c
+        return out
+    return jax.vmap(one)(seg)
+
+
+def get_cut_mask(logits: jax.Array, thres: float = 0.5, nms: bool = False,
+                 connectivity: Optional[int] = None) -> jax.Array:
+    """Binary pseudo-label from channels-last logits ``(N, *S, 2)``.
+
+    softmax class-1 prob >= thres, optionally largest-CC cleaned —
+    `LA_BCP_train.py:57-63` / `pancreas/pancreas_utils.py:275-281`.
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    masks = (probs[..., 1] >= thres).astype(jnp.int32)
+    if nms:
+        masks = largest_cc_batch(masks, connectivity)
+    return masks
+
+
+def get_multiclass_mask(logits: jax.Array, n_classes: int,
+                        nms: bool = False,
+                        connectivity: Optional[int] = None) -> jax.Array:
+    """Argmax pseudo-label with optional per-class 2D largest-CC —
+    `get_ACDC_masks` (`ACDC_BCP_train.py:112-117`)."""
+    seg = jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)
+    seg = seg.astype(jnp.int32)
+    if nms:
+        seg = largest_cc_per_class(seg, n_classes, connectivity)
+    return seg

@@ -1,0 +1,149 @@
+"""Copy-paste mask sampling.
+
+TPU-native re-design of the reference's mask generators
+(`code/utils/BCP_utils.py:18-56`, `code/ACDC_BCP_train.py:131-164`,
+`code/pancreas/pancreas_utils.py:187-200`).
+
+Design notes (vs the reference):
+
+- Masks are sampled *inside* the jitted train step from a ``jax.random`` key
+  instead of host-side ``np.random`` — no host->device transfer per step.
+- Built from ``broadcasted_iota`` range comparisons rather than dynamic-slice
+  writes: fully static shapes, trivially fusable by XLA into the mix +
+  loss pipeline, and no scatter in the hot loop.
+- Parameterised by the actual spatial shape. (The reference hardcodes the
+  112/112/80 upper bounds in `context_mask`, `BCP_utils.py:23-25` — a latent
+  bug when patch size changes; fixed here.)
+
+Polarity convention (identical to the reference, `BCP_utils.py:26`):
+``mask == 0`` marks the pasted *patch* region, ``mask == 1`` the kept
+*image* region. The mixed input is ``a * mask + b * (1 - mask)``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _box_mask(spatial: Sequence[int], starts: Sequence[jax.Array],
+              sizes: Sequence[int]) -> jax.Array:
+    """0 inside the axis-aligned box [start, start+size) per dim, 1 outside."""
+    inside = None
+    for d, (dim, start, size) in enumerate(zip(spatial, starts, sizes)):
+        coords = jax.lax.broadcasted_iota(jnp.int32, tuple(spatial), d)
+        in_d = (coords >= start) & (coords < start + size)
+        inside = in_d if inside is None else (inside & in_d)
+    return 1 - inside.astype(jnp.int32)
+
+
+def cuboid_mask(key: jax.Array, spatial: Sequence[int],
+                ratio: float = 2.0 / 3.0) -> jax.Array:
+    """Sample a single zero-cuboid (or zero-rect in 2D) copy-paste mask.
+
+    Matches `context_mask` (`BCP_utils.py:18-28`) / `generate_mask`
+    (`ACDC_BCP_train.py:131-140`): the zeroed patch spans ``int(dim*ratio)``
+    per dimension, offset uniform in ``[0, dim - patch_dim)``.
+
+    Returns an int32 mask of shape ``spatial`` (no batch dim — the reference
+    shares one mask across the sub-batch; broadcast at use site).
+    """
+    spatial = tuple(int(s) for s in spatial)
+    sizes = [int(s * ratio) for s in spatial]
+    keys = jax.random.split(key, len(spatial))
+    starts = [
+        jax.random.randint(k, (), 0, dim - size)
+        for k, dim, size in zip(keys, spatial, sizes)
+    ]
+    return _box_mask(spatial, starts, sizes)
+
+
+def cuboid_mask_fixed(key: jax.Array, spatial: Sequence[int],
+                      patch: int) -> jax.Array:
+    """Fixed-size cube variant used by the pancreas pipeline.
+
+    Matches `generate_mask` (`pancreas/pancreas_utils.py:187-200`): a
+    ``patch``^3 cube zeroed at a uniform offset inside ``spatial`` (96^3 in
+    the reference, parameterised here).
+    """
+    spatial = tuple(int(s) for s in spatial)
+    sizes = [int(patch)] * len(spatial)
+    keys = jax.random.split(key, len(spatial))
+    starts = [
+        jax.random.randint(k, (), 0, dim - size)
+        for k, dim, size in zip(keys, spatial, sizes)
+    ]
+    return _box_mask(spatial, starts, sizes)
+
+
+# `rect_mask` is the 2D alias; the math is dimension-generic.
+rect_mask = cuboid_mask
+
+
+def grid_mask(key: jax.Array, spatial: Sequence[int],
+              shrink: int = 3) -> jax.Array:
+    """Multi-box variant: one zero-box per cell of a shrink x shrink grid.
+
+    Matches `random_mask` (`ACDC_BCP_train.py:142-154`, and the 27-cube 3D
+    variant `BCP_utils.py:30-46`): each grid cell of size ``dim/shrink``
+    receives a zero-box of ``int(dim*2/(3*shrink))`` per dim at a uniform
+    offset within the cell.
+    """
+    spatial = tuple(int(s) for s in spatial)
+    ndim = len(spatial)
+    cell = [dim // shrink for dim in spatial]
+    sizes = [int(dim * 2 / (3 * shrink)) for dim in spatial]
+    mask = jnp.ones(spatial, jnp.int32)
+    n_cells = shrink ** ndim
+    keys = jax.random.split(key, n_cells * ndim)
+    k = 0
+    for flat in range(n_cells):
+        idx = []
+        rem = flat
+        for _ in range(ndim):
+            idx.append(rem % shrink)
+            rem //= shrink
+        starts = []
+        for d in range(ndim):
+            lo = idx[d] * cell[d]
+            hi = (idx[d] + 1) * cell[d] - sizes[d]
+            starts.append(jax.random.randint(keys[k], (), lo, hi))
+            k += 1
+        mask = mask * _box_mask(spatial, starts, sizes)
+    return mask
+
+
+def slab_mask(key: jax.Array, spatial: Sequence[int],
+              axis: int = -1, fraction: float = 8.0 / 27.0) -> jax.Array:
+    """Zero a full slab of ``int(dim*fraction)`` along one axis.
+
+    Matches `concate_mask` (`BCP_utils.py:48-56`, z-slab of 8/27) and
+    `contact_mask` (`ACDC_BCP_train.py:156-164`, row-slab of 4/9; pass
+    ``axis=0, fraction=4/9`` for that variant).
+    """
+    spatial = tuple(int(s) for s in spatial)
+    axis = axis % len(spatial)
+    length = int(spatial[axis] * fraction)
+    start = jax.random.randint(key, (), 0, spatial[axis] - length - 1)
+    starts = [jnp.int32(0)] * len(spatial)
+    sizes = list(spatial)
+    starts[axis] = start
+    sizes[axis] = length
+    return _box_mask(spatial, starts, sizes)
+
+
+def mix(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
+    """``a * mask + b * (1 - mask)`` with broadcasting over batch/channel.
+
+    ``mask`` has shape ``spatial``; ``a``/``b`` are ``(N, *spatial)`` or
+    ``(N, *spatial, C)`` (channels-last). Mirrors the mixing expressions in
+    `LA_BCP_train.py:155,248-251` / `ACDC_BCP_train.py:247,372-373`.
+    """
+    m = mask.astype(a.dtype)
+    if a.ndim == m.ndim + 2:        # (N, *spatial, C)
+        m = m[None, ..., None]
+    elif a.ndim == m.ndim + 1:      # (N, *spatial)
+        m = m[None]
+    return a * m + b * (1 - m)
