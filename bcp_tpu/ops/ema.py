@@ -31,8 +31,11 @@ ema_update_full = ema_update
 
 
 def copy_tree(src):
-    """Detached copy — `parameter_sharing` (`utils/BCP_utils.py:88-91`)."""
-    return jax.tree_util.tree_map(lambda x: x, src)
+    """Detached copy with fresh buffers — `parameter_sharing`
+    (`utils/BCP_utils.py:88-91`). Fresh buffers matter because train steps
+    donate their state; aliased leaves would be donated twice."""
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.copy, src)
 
 
 def ema_update_two_students(teacher_params, params1, params2, alpha: float):

@@ -1,13 +1,21 @@
-"""Test harness config: run everything on a simulated 8-device CPU mesh.
+"""Test harness config: run everything on a simulated 8-device CPU mesh
+(SURVEY.md §4: multi-device tests use xla_force_host_platform_device_count
+so no TPU is needed).
 
-Must set the env before jax is imported anywhere (SURVEY.md §4: multi-device
-tests use xla_force_host_platform_device_count on CPU so no TPU is needed).
+jax is already imported by the jaxtyping pytest plugin before this conftest
+runs, and jax binds env-derived config at import — so we must go through
+jax.config.update, not os.environ. XLA_FLAGS is still read lazily at
+backend init, which has not happened yet at collection time.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platform_name", "cpu")
