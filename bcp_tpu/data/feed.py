@@ -1,0 +1,173 @@
+"""Batch assembly + async device prefetch.
+
+Replaces the reference's torch DataLoader worker processes
+(`LA_BCP_train.py:134`) with a background builder thread and a bounded
+prefetch queue: while the TPU runs step N, the host assembles and uploads
+step N+1 (double buffering across the PCIe/ICI boundary). Batches are
+delivered as the split-stream dict the jitted steps consume
+(``img_a/img_b/lab_a/lab_b[/uimg_a/uimg_b]``), optionally sharded over a
+data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from bcp_tpu.config import Config
+from bcp_tpu.data.datasets import PancreasDataset, build_dataset
+from bcp_tpu.data.sampler import two_stream_batches
+
+
+ACDC_PATIENTS_TO_SLICES = {
+    # `patients_to_slices` (`ACDC_BCP_train.py:181-191`)
+    1: 32, 3: 68, 7: 136, 14: 256, 21: 396, 28: 512, 35: 664, 70: 1312,
+}
+
+
+def labeled_count(cfg: Config, total: int) -> int:
+    if cfg.variant == "acdc":
+        return ACDC_PATIENTS_TO_SLICES[cfg.labelnum]
+    return cfg.labelnum
+
+
+def _stack(images, labels):
+    img = np.stack(images)[..., None].astype(np.float32)
+    lab = np.stack(labels).astype(np.int32)
+    return img, lab
+
+
+class BCPBatchFeeder:
+    """Infinite iterator of train batches for one stage.
+
+    stage='pre' yields labeled pairs only; stage='self' adds the two
+    unlabeled sub-streams. Epoch pacing matches the reference: one epoch =
+    one pass over the labeled indices (`dataset.py:296-307`), and for the
+    pancreas variant the four zip'd sequential loaders
+    (`train_pancreas.py:144`).
+    """
+
+    def __init__(self, cfg: Config, stage: str, seed: Optional[int] = None,
+                 sharding=None, prefetch: int = 2):
+        self.cfg = cfg
+        self.stage = stage
+        self.sharding = sharding
+        self.seed = cfg.seed if seed is None else seed
+        self.rng = np.random.default_rng(self.seed)
+        if cfg.variant == "pancreas":
+            self._init_pancreas()
+        else:
+            self._init_two_stream()
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # -- index streams ------------------------------------------------
+    def _init_two_stream(self):
+        cfg = self.cfg
+        self.dataset = build_dataset(cfg, "train")
+        total = len(self.dataset)
+        n_lab = labeled_count(cfg, total)
+        labeled = list(range(n_lab))
+        unlabeled = list(range(n_lab, total))
+        self.steps_per_epoch = n_lab // cfg.labeled_bs
+        self._index_stream = two_stream_batches(
+            labeled, unlabeled, cfg.batch_size, cfg.unlabeled_bs,
+            seed=self.seed)
+
+    def _init_pancreas(self):
+        cfg = self.cfg
+        self.lab_a = PancreasDataset(cfg.root_path, "train_lab",
+                                     oversample=cfg.labeled_oversample)
+        self.lab_b = PancreasDataset(cfg.root_path, "train_lab",
+                                     oversample=cfg.labeled_oversample,
+                                     reverse=True)
+        self.unlab_a = PancreasDataset(cfg.root_path, "train_unlab")
+        self.unlab_b = PancreasDataset(cfg.root_path, "train_unlab",
+                                       reverse=True)
+        per = cfg.labeled_sub_bs
+        n_lab_batches = len(self.lab_a) // per
+        n_unlab_batches = len(self.unlab_a) // cfg.unlabeled_sub_bs
+        if self.stage == "pre":
+            self.steps_per_epoch = n_lab_batches
+        else:
+            self.steps_per_epoch = min(n_lab_batches, n_unlab_batches)
+
+        def stream():
+            # sequential, shuffle=False, drop_last=True
+            # (`pancreas/dataloaders.py:185-194`)
+            step = 0
+            while True:
+                for i in range(self.steps_per_epoch):
+                    lab_idx = list(range(i * per, (i + 1) * per))
+                    un = cfg.unlabeled_sub_bs
+                    unlab_idx = list(range(i * un, (i + 1) * un))
+                    yield lab_idx, unlab_idx
+                step += 1
+        self._index_stream = stream()
+
+    # -- batch assembly -------------------------------------------------
+    def _build(self) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        lab_idx, unlab_idx = next(self._index_stream)
+        if cfg.variant == "pancreas":
+            imgs_a, labs_a = zip(*[self.lab_a.sample_train(
+                i, cfg.patch_size, self.rng) for i in lab_idx])
+            imgs_b, labs_b = zip(*[self.lab_b.sample_train(
+                i, cfg.patch_size, self.rng) for i in lab_idx])
+        else:
+            sub = cfg.labeled_sub_bs
+            samples = [self.dataset.sample_train(i, cfg.patch_size, self.rng)
+                       for i in lab_idx]
+            imgs_a, labs_a = zip(*samples[:sub])
+            imgs_b, labs_b = zip(*samples[sub:])
+        img_a, lab_a = _stack(imgs_a, labs_a)
+        img_b, lab_b = _stack(imgs_b, labs_b)
+        batch = {"img_a": img_a, "img_b": img_b,
+                 "lab_a": lab_a, "lab_b": lab_b}
+        if self.stage == "self":
+            if cfg.variant == "pancreas":
+                uim_a, _ = zip(*[self.unlab_a.sample_train(
+                    i, cfg.patch_size, self.rng) for i in unlab_idx])
+                uim_b, _ = zip(*[self.unlab_b.sample_train(
+                    i, cfg.patch_size, self.rng) for i in unlab_idx])
+            else:
+                usub = cfg.unlabeled_sub_bs
+                usamples = [self.dataset.sample_train(
+                    i, cfg.patch_size, self.rng) for i in unlab_idx]
+                uim_a = [s[0] for s in usamples[:usub]]
+                uim_b = [s[0] for s in usamples[usub:]]
+            batch["uimg_a"] = np.stack(uim_a)[..., None].astype(np.float32)
+            batch["uimg_b"] = np.stack(uim_b)[..., None].astype(np.float32)
+        return batch
+
+    def _worker(self):
+        try:
+            while not self._stop.is_set():
+                host_batch = self._build()
+                device_batch = jax.device_put(host_batch, self.sharding)
+                self._queue.put(device_batch)
+        except Exception as e:  # surface in the consumer
+            self._queue.put(e)
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        return self
+
+    def __next__(self) -> Dict[str, jax.Array]:
+        item = self._queue.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass

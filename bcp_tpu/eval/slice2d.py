@@ -1,0 +1,90 @@
+"""2D per-slice volume inference (ACDC).
+
+The reference loops over slices with batch-1 forwards
+(`utils/val_2d.py:20-41`, `test_ACDC.py:36-79`); here all slices of a
+volume zoom to the network size on the host, run as **one** batched device
+forward (padded to a slice-count bucket so XLA reuses a few programs), and
+zoom back per slice.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from bcp_tpu.eval import metrics as M
+
+
+class Slice2DEvaluator:
+    def __init__(self, model, patch_size: Sequence[int] = (256, 256),
+                 num_classes: int = 4, slice_bucket: int = 4):
+        self.model = model
+        self.patch = tuple(patch_size)
+        self.num_classes = num_classes
+        self.slice_bucket = slice_bucket
+        self._fns: Dict[int, callable] = {}
+
+    def _fn(self, n: int):
+        if n in self._fns:
+            return self._fns[n]
+        model = self.model
+
+        @jax.jit
+        def forward(variables, x):
+            logits = model.apply(variables, x, train=False)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            return jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)
+
+        self._fns[n] = forward
+        return forward
+
+    def predict_volume(self, variables, image: np.ndarray) -> np.ndarray:
+        """image (n_slices, H, W) -> label volume, argmax rule
+        (`val_2d.py:27-37`: nearest zoom to patch, net, argmax, zoom
+        back)."""
+        n, x, y = image.shape
+        zoomed = np.stack([
+            ndimage.zoom(image[i], (self.patch[0] / x, self.patch[1] / y),
+                         order=0) for i in range(n)]).astype(np.float32)
+        b = self.slice_bucket
+        padded_n = int(math.ceil(n / b) * b)
+        if padded_n != n:
+            zoomed = np.concatenate(
+                [zoomed, np.zeros((padded_n - n, *self.patch), np.float32)])
+        out = self._fn(padded_n)(variables, jnp.asarray(zoomed[..., None]))
+        out = np.asarray(out)[:n]
+        pred = np.stack([
+            ndimage.zoom(out[i], (x / self.patch[0], y / self.patch[1]),
+                         order=0) for i in range(n)])
+        return pred
+
+    def validate_volume(self, variables, image, label
+                        ) -> List[Tuple[float, float]]:
+        """Per-class (dice, hd95) — `val_2d.test_single_volume`
+        (`val_2d.py:20-41`)."""
+        pred = self.predict_volume(variables, image)
+        return [M.calculate_dice_hd95(pred == c, label == c)
+                for c in range(1, self.num_classes)]
+
+    def test_volume(self, variables, image, label):
+        """Per-class (dice, jc, hd95, asd) with zero-pred guard —
+        `test_ACDC.test_single_volume` (`test_ACDC.py:36-79`)."""
+        pred = self.predict_volume(variables, image)
+        out = []
+        for c in range(1, self.num_classes):
+            pc, gc = pred == c, label == c
+            if pc.sum() == 0 or gc.sum() == 0:
+                out.append((0.0, 0.0, 0.0, 0.0))
+            else:
+                dice = M.dice_binary(pc, gc)
+                jc = M.jaccard_binary(pc, gc)
+                h = M.hd95(pc, gc)
+                a = M.asd(pc, gc)
+                out.append((dice, jc, h, a))
+        return out, pred

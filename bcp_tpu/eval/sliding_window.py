@@ -1,0 +1,198 @@
+"""Device-batched 3D sliding-window inference.
+
+The reference dispatches **one window per forward pass at batch size 1**,
+crossing the host<->device boundary twice per window
+(`utils/test_3d_patch.py:116-135` — hundreds of dispatches per LA volume).
+This engine is the TPU-native redesign (SURVEY.md §7 step 5):
+
+- the padded volume is uploaded once and stays in HBM;
+- windows are gathered on device with vmapped ``dynamic_slice`` and run
+  through the net in batches (MXU sees batch=eval_batch, not 1);
+- softmax scores are scatter-added into the score/count maps on device
+  (``dynamic_update_slice`` read-modify-write inside a ``fori_loop``);
+- volumes are padded up to a shape bucket so XLA compiles a handful of
+  programs for a whole dataset instead of one per volume shape.
+
+The window grid is byte-identical to the reference
+(`test_3d_patch.py:109-121`): ``ceil((dim - patch)/stride) + 1`` windows
+per axis with starts ``min(stride*i, dim - patch)`` — the bucket padding
+adds windows over padded voxels, which the count map normalises out and the
+final crop discards.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bcp_tpu.eval.metrics import host_largest_cc
+
+
+def window_starts(vol_shape: Sequence[int], patch: Sequence[int],
+                  stride_xy: int, stride_z: int) -> np.ndarray:
+    """The reference's grid (`test_3d_patch.py:109-121`), as an (N,3)
+    array of window origins."""
+    strides = (stride_xy, stride_xy, stride_z)
+    axes = []
+    for dim, p, s in zip(vol_shape, patch, strides):
+        n = math.ceil((dim - p) / s) + 1 if dim > p else 1
+        axes.append([min(s * i, dim - p) for i in range(n)])
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+    return grid.reshape(-1, 3).astype(np.int32)
+
+
+def pad_to_patch(image: np.ndarray, patch: Sequence[int]):
+    """Symmetric pad-if-smaller (`test_3d_patch.py:85-106`); returns the
+    padded image and the left-pad offsets for the final crop."""
+    pads = []
+    for dim, p in zip(image.shape, patch):
+        d = max(p - dim, 0)
+        pads.append((d // 2, d - d // 2))
+    if any(p != (0, 0) for p in pads):
+        image = np.pad(image, pads, mode="constant", constant_values=0)
+    return image, tuple(p[0] for p in pads)
+
+
+def bucket_shape(shape: Sequence[int], bucket: Sequence[int],
+                 patch: Sequence[int]) -> Tuple[int, ...]:
+    """Round each dim up to a bucket multiple (>= patch) to bound the
+    number of distinct XLA programs across a dataset."""
+    out = []
+    for dim, b, p in zip(shape, bucket, patch):
+        padded = max(int(math.ceil(dim / b) * b), p)
+        out.append(padded)
+    return tuple(out)
+
+
+class SlidingWindowEvaluator:
+    """Batched overlap-tiled 3D inference for one model configuration."""
+
+    def __init__(self, model, patch_size: Sequence[int], num_classes: int,
+                 stride_xy: int, stride_z: int, batch: int = 8,
+                 bucket: Sequence[int] = (32, 32, 16)):
+        self.model = model
+        self.patch = tuple(patch_size)
+        self.num_classes = num_classes
+        self.stride_xy = stride_xy
+        self.stride_z = stride_z
+        self.batch = batch
+        self.bucket = tuple(bucket)
+        self._chunk_fns: Dict[Tuple[int, ...], callable] = {}
+
+    # -- jitted per-bucket-shape chunk processor -----------------------
+    def _chunk_fn(self, vol_shape: Tuple[int, ...]):
+        if vol_shape in self._chunk_fns:
+            return self._chunk_fns[vol_shape]
+
+        patch = self.patch
+        C = self.num_classes
+        model = self.model
+
+        @jax.jit
+        def process(variables, volume, starts, valid, score, cnt):
+            def gather(s):
+                return jax.lax.dynamic_slice(volume, (s[0], s[1], s[2]),
+                                             patch)
+            patches = jax.vmap(gather)(starts)[..., None]
+            logits = model.apply(variables, patches, train=False)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = probs * valid[:, None, None, None, None]
+
+            def body(i, carry):
+                sc, ct = carry
+                s = starts[i]
+                idx = (s[0], s[1], s[2], 0)
+                tile = jax.lax.dynamic_slice(sc, idx, (*patch, C))
+                sc = jax.lax.dynamic_update_slice(sc, tile + probs[i], idx)
+                ctile = jax.lax.dynamic_slice(ct, (s[0], s[1], s[2]), patch)
+                ct = jax.lax.dynamic_update_slice(
+                    ct, ctile + valid[i].astype(ct.dtype),
+                    (s[0], s[1], s[2]))
+                return sc, ct
+
+            return jax.lax.fori_loop(0, starts.shape[0], body, (score, cnt))
+
+        self._chunk_fns[vol_shape] = process
+        return process
+
+    # -- public API -----------------------------------------------------
+    def infer(self, variables, image: np.ndarray,
+              rule: str = "threshold") -> Tuple[np.ndarray, np.ndarray]:
+        """Run one volume; returns (label_map, score_map[C,...]-first) with
+        the reference's decision rules: 'threshold' = class-1 prob > 0.5
+        (`test_3d_patch.py:137`), 'argmax' (`pancreas/test_util.py:146`).
+        """
+        orig_shape = image.shape
+        image, off = pad_to_patch(image.astype(np.float32), self.patch)
+        grid_shape = image.shape
+        # window grid over the *pre-bucket* shape (identical to reference)
+        starts = window_starts(grid_shape, self.patch, self.stride_xy,
+                               self.stride_z)
+        padded = bucket_shape(grid_shape, self.bucket, self.patch)
+        if padded != grid_shape:
+            image = np.pad(
+                image, [(0, p - s) for p, s in zip(padded, grid_shape)],
+                mode="constant", constant_values=0)
+
+        process = self._chunk_fn(padded)
+        volume = jnp.asarray(image)
+        score = jnp.zeros((*padded, self.num_classes), jnp.float32)
+        cnt = jnp.zeros(padded, jnp.float32)
+
+        B = self.batch
+        n = starts.shape[0]
+        for i in range(0, n, B):
+            chunk = starts[i:i + B]
+            valid = np.ones((len(chunk),), np.float32)
+            if len(chunk) < B:  # pad the tail chunk, mask contributions
+                pad_n = B - len(chunk)
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad_n, 3), np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad_n, np.float32)])
+            score, cnt = process(variables, volume, jnp.asarray(chunk),
+                                 jnp.asarray(valid), score, cnt)
+
+        cnt = jnp.maximum(cnt, 1.0)
+        score = score / cnt[..., None]
+        if rule == "argmax":
+            label = jnp.argmax(score, axis=-1)
+        else:
+            label = (score[..., 1] > 0.5).astype(jnp.int32)
+
+        label = np.asarray(label)
+        score = np.asarray(score)
+        # crop bucket padding, then the pad-to-patch padding
+        sl = tuple(slice(o, o + s) for o, s in zip(off, orig_shape))
+        label = label[tuple(slice(0, s) for s in grid_shape)][sl]
+        score = np.moveaxis(
+            score[tuple(slice(0, s) for s in grid_shape) + (slice(None),)],
+            -1, 0)[(slice(None),) + sl]
+        return label, score
+
+    def evaluate_case(self, variables, image, label, nms: bool = False,
+                      rule: str = "threshold"):
+        from bcp_tpu.eval import metrics as M
+        pred, _ = self.infer(variables, image, rule=rule)
+        if nms:
+            pred = host_largest_cc(pred)
+        if pred.sum() == 0:
+            return (0.0, 0.0, 0.0, 0.0), pred
+        return M.calculate_metric_percase(pred, label[:]), pred
+
+    def validate_dice(self, variables, cases, rule: str = "threshold"):
+        """`var_all_case_LA` (`test_3d_patch.py:20-39`): mean Dice over a
+        case list, no NMS, zero-pred counts as 0."""
+        from bcp_tpu.eval import metrics as M
+        total = 0.0
+        for image, label in cases:
+            pred, _ = self.infer(variables, image, rule=rule)
+            total += (M.dice_binary(pred, label)
+                      if pred.sum() > 0 else 0.0)
+        return total / max(len(cases), 1)

@@ -1,0 +1,167 @@
+"""Eval engine tests.
+
+The batched device sliding-window engine is checked against a direct
+numpy re-implementation of the reference's window loop
+(`test_3d_patch.py:82-141`) running the same flax model — same grid, same
+accumulate-normalize, same decision rule. Metrics are checked on
+analytically solvable shapes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bcp_tpu.eval import (Slice2DEvaluator, SlidingWindowEvaluator,
+                          calculate_metric_percase, dice_binary, hd95, asd,
+                          jaccard_binary, host_largest_cc)
+from bcp_tpu.eval.sliding_window import pad_to_patch, window_starts
+from bcp_tpu.models import UNet2D, VNet3D
+
+
+# ---------------- metrics ----------------
+
+def test_dice_jaccard_identical_masks():
+    m = np.zeros((8, 8, 8), bool)
+    m[2:5, 2:5, 2:5] = True
+    assert dice_binary(m, m) == 1.0
+    assert jaccard_binary(m, m) == 1.0
+
+
+def test_dice_value():
+    a = np.zeros((10,), bool); a[:6] = True
+    b = np.zeros((10,), bool); b[2:8] = True
+    # |A.B|=4, |A|+|B|=12 -> dice 2/3 ; union=8 -> jaccard 1/2
+    assert dice_binary(a, b) == pytest.approx(2 / 3)
+    assert jaccard_binary(a, b) == pytest.approx(0.5)
+
+
+def test_surface_distances_offset_boxes():
+    # two identical cubes offset by 3 voxels along x: every border voxel of
+    # one is exactly 3 away from the other's border along x... only the
+    # leading/trailing faces differ; use flat slabs for an exact value.
+    a = np.zeros((20, 5, 5), bool); a[5:8] = True
+    b = np.zeros((20, 5, 5), bool); b[8:11] = True
+    # slabs of thickness 3: all voxels are border voxels. asd(a->b) =
+    # mean distance from a's voxels to b's border.
+    d = asd(a, b)
+    assert 0.9 < d < 2.1
+    h = hd95(a, b)
+    assert 2.0 <= h <= 3.1
+
+
+def test_hd95_zero_for_identical():
+    m = np.zeros((8, 8), bool)
+    m[2:6, 2:6] = True
+    assert hd95(m, m) == 0.0
+    assert asd(m, m) == 0.0
+
+
+def test_host_largest_cc():
+    m = np.zeros((10, 10), np.int32)
+    m[0:4, 0:4] = 1
+    m[8, 8] = 1
+    out = host_largest_cc(m)
+    assert out[0, 0] and not out[8, 8]
+
+
+# ---------------- sliding window ----------------
+
+def _naive_sliding_window(apply_fn, image, patch, stride_xy, stride_z,
+                          num_classes):
+    """Direct re-implementation of the reference loop
+    (`test_3d_patch.py:82-141`) in numpy, batch-1 forwards."""
+    image, off = pad_to_patch(image.astype(np.float32), patch)
+    score = np.zeros((*image.shape, num_classes), np.float32)
+    cnt = np.zeros(image.shape, np.float32)
+    for s in window_starts(image.shape, patch, stride_xy, stride_z):
+        x0, y0, z0 = s
+        tile = image[x0:x0 + patch[0], y0:y0 + patch[1], z0:z0 + patch[2]]
+        probs = apply_fn(tile[None, ..., None])[0]
+        score[x0:x0 + patch[0], y0:y0 + patch[1], z0:z0 + patch[2]] += probs
+        cnt[x0:x0 + patch[0], y0:y0 + patch[1], z0:z0 + patch[2]] += 1
+    score /= cnt[..., None]
+    label = (score[..., 1] > 0.5).astype(np.int32)
+    return label, score
+
+
+@pytest.fixture(scope="module")
+def small_vnet():
+    model = VNet3D(n_classes=2, n_filters=2, normalization="batchnorm",
+                   has_dropout=False)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+    return model, variables
+
+
+def test_sliding_window_matches_naive_loop(small_vnet):
+    model, variables = small_vnet
+    patch = (16, 16, 16)
+    image = np.random.default_rng(0).normal(
+        size=(23, 19, 21)).astype(np.float32)
+
+    def apply_fn(x):
+        logits, _ = model.apply(variables, jnp.asarray(x), train=False)
+        return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    want_label, want_score = _naive_sliding_window(
+        apply_fn, image, patch, stride_xy=6, stride_z=6, num_classes=2)
+
+    ev = SlidingWindowEvaluator(model, patch, num_classes=2, stride_xy=6,
+                                stride_z=6, batch=4, bucket=(8, 8, 8))
+    got_label, got_score = ev.infer(variables, image)
+    assert got_label.shape == image.shape
+    np.testing.assert_allclose(got_score, np.moveaxis(want_score, -1, 0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got_label, want_label)
+
+
+def test_sliding_window_small_volume_padding(small_vnet):
+    model, variables = small_vnet
+    ev = SlidingWindowEvaluator(model, (16, 16, 16), 2, 6, 6, batch=4,
+                                bucket=(8, 8, 8))
+    image = np.random.default_rng(1).normal(size=(10, 12, 9))
+    label, score = ev.infer(variables, image)
+    assert label.shape == (10, 12, 9)
+    assert score.shape == (2, 10, 12, 9)
+
+
+def test_sliding_window_argmax_rule(small_vnet):
+    model, variables = small_vnet
+    ev = SlidingWindowEvaluator(model, (16, 16, 16), 2, 8, 8, batch=4)
+    image = np.random.default_rng(2).normal(size=(20, 20, 18))
+    label, score = ev.infer(variables, image, rule="argmax")
+    want = np.argmax(score, axis=0)
+    np.testing.assert_array_equal(label, want)
+
+
+def test_validate_dice_runs(small_vnet):
+    model, variables = small_vnet
+    ev = SlidingWindowEvaluator(model, (16, 16, 16), 2, 8, 8, batch=4)
+    image = np.random.default_rng(3).normal(size=(18, 18, 18))
+    lab = np.zeros_like(image, dtype=np.int32)
+    lab[4:10, 4:10, 4:10] = 1
+    d = ev.validate_dice(variables, [(image, lab)])
+    assert 0.0 <= d <= 1.0
+
+
+# ---------------- 2D slices ----------------
+
+def test_slice2d_shapes():
+    model = UNet2D(n_classes=4, feature_chns=(4, 8, 16, 32, 64))
+    x = jnp.zeros((1, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    ev = Slice2DEvaluator(model, patch_size=(32, 32), num_classes=4)
+    image = np.random.default_rng(0).normal(size=(5, 40, 44))
+    pred = ev.predict_volume(variables, image)
+    assert pred.shape == (5, 40, 44)
+    label = np.zeros((5, 40, 44), np.int32)
+    label[:, 10:20, 10:20] = 1
+    m = ev.validate_volume(variables, image, label)
+    assert len(m) == 3 and all(len(t) == 2 for t in m)
+    full, pred2 = ev.test_volume(variables, image, label)
+    assert len(full) == 3 and all(len(t) == 4 for t in full)
