@@ -1,0 +1,212 @@
+"""The generic two-stage BCP trainer.
+
+One trainer drives all three reference pipelines (`LA_BCP_train.py`,
+`ACDC_BCP_train.py`, `pancreas/train_pancreas.py` — parallel near-clones in
+the reference, unified here behind the Config presets): labeled-only
+copy-paste pre-training, then bidirectional copy-paste mean-teacher
+self-training, with periodic validation, best-Dice checkpointing and the
+checkpoint-mediated stage hand-off.
+
+Performance notes vs the reference:
+- the train step is one donated-state XLA program (no per-step host work
+  beyond feeding the next batch, which is prefetched on a thread);
+- validation uses the device-batched evaluators;
+- metrics are fetched once per step as a single device->host transfer.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from bcp_tpu.config import Config
+from bcp_tpu.data.datasets import (ACDCDataset, LAHeartDataset,
+                                   PancreasDataset)
+from bcp_tpu.data.feed import BCPBatchFeeder
+from bcp_tpu.data.transforms import pancreas_test_transform
+from bcp_tpu.eval.slice2d import Slice2DEvaluator
+from bcp_tpu.eval.sliding_window import SlidingWindowEvaluator
+from bcp_tpu.models import create_model
+from bcp_tpu.ops.ramps import sigmoid_rampup
+from bcp_tpu.train.checkpoints import CheckpointIO, best_model_path
+from bcp_tpu.train.state import TrainState, build_optimizer, init_state
+from bcp_tpu.train.steps import make_pretrain_step, make_selftrain_step
+from bcp_tpu.utils.logging import MetricWriter, setup_logging
+
+
+class BCPTrainer:
+    def __init__(self, cfg: Config, snapshot_root: Optional[str] = None,
+                 sharding=None, log_images: bool = False):
+        self.cfg = cfg
+        self.sharding = sharding
+        root = snapshot_root or cfg.snapshot_root
+        run = f"{cfg.name}_{cfg.exp}_{cfg.labelnum}_labeled"
+        self.pre_dir = os.path.join(root, run, "pre_train")
+        self.self_dir = os.path.join(root, run, "self_train")
+        self.model = create_model(cfg.net_type, cfg.num_classes)
+        self.eval_model = create_model(cfg.net_type, cfg.num_classes,
+                                       mode="test")
+        self.ckpt = CheckpointIO()
+        self._val_cases: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+        if cfg.dims == 3:
+            self.evaluator = SlidingWindowEvaluator(
+                self.eval_model, cfg.patch_size, cfg.num_classes,
+                cfg.stride_xy, cfg.stride_z, batch=cfg.eval_batch)
+        else:
+            self.evaluator = Slice2DEvaluator(
+                self.eval_model, cfg.patch_size, cfg.num_classes)
+
+    # ---------------- validation ----------------
+
+    def _load_val_cases(self):
+        if self._val_cases is not None:
+            return self._val_cases
+        cfg = self.cfg
+        cases = []
+        if cfg.variant == "la":
+            # the reference validates on the *test* list
+            # (`test_3d_patch.py:20-24`) — kept for protocol parity
+            ds = LAHeartDataset(cfg.root_path, "test")
+            cases = [ds.load(i) for i in range(len(ds))]
+        elif cfg.variant == "acdc":
+            ds = ACDCDataset(cfg.root_path, "val")
+            cases = [ds.load(i) for i in range(len(ds))]
+        else:
+            ds = PancreasDataset(cfg.root_path, "test")
+            for i in range(len(ds)):
+                image, label = ds.load(i)
+                image, label = pancreas_test_transform(
+                    image, label, cfg.patch_size)
+                cases.append((image, label))
+        self._val_cases = cases
+        return cases
+
+    def _eval_variables(self, state: TrainState):
+        variables = {"params": state.params}
+        if len(jax.tree_util.tree_leaves(state.batch_stats)) > 0:
+            variables["batch_stats"] = state.batch_stats
+        return variables
+
+    def validate(self, state: TrainState) -> float:
+        """Returns the scalar the reference tracks as 'dice_sample' /
+        'performance' for best-model selection."""
+        cfg = self.cfg
+        cases = self._load_val_cases()
+        variables = self._eval_variables(state)
+        if cfg.variant == "la":
+            return self.evaluator.validate_dice(variables, cases,
+                                                rule=cfg.eval_rule)
+        if cfg.variant == "acdc":
+            per_case = [np.array(self.evaluator.validate_volume(
+                variables, img, lab)) for img, lab in cases]
+            metric = np.mean(per_case, axis=0)       # (classes-1, 2)
+            return float(metric[:, 0].mean())        # mean dice
+        # pancreas: mean dice over center-cropped test volumes, argmax rule
+        total = 0.0
+        for image, label in cases:
+            pred, _ = self.evaluator.infer(variables, image,
+                                           rule=cfg.eval_rule)
+            from bcp_tpu.eval.metrics import dice_binary
+            total += dice_binary(pred, label) if pred.sum() > 0 else 0.0
+        return total / max(len(cases), 1)
+
+    # ---------------- stages ----------------
+
+    def _run_stage(self, stage: str, max_iterations: int,
+                   init_from: Optional[str] = None,
+                   resume: bool = False) -> Tuple[float, str]:
+        cfg = self.cfg
+        out_dir = self.pre_dir if stage == "pre" else self.self_dir
+        os.makedirs(out_dir, exist_ok=True)
+        logger = setup_logging(out_dir)
+        writer = MetricWriter(os.path.join(out_dir, "log"))
+        logger.info("config: %s", cfg)
+
+        tx = build_optimizer(cfg, stage)
+        state = init_state(self.model, cfg,
+                           jax.random.PRNGKey(cfg.seed), tx)
+        if init_from is not None:
+            # stage hand-off (`LA_BCP_train.py:220-222` weights-only;
+            # `ACDC_BCP_train.py:335-336` student+opt)
+            if cfg.load_opt_state:
+                state = self.ckpt.restore_with_opt(init_from, state)
+            else:
+                state = self.ckpt.restore_weights_only(init_from, state)
+            logger.info("loaded from %s", init_from)
+        last_path = os.path.join(out_dir, "last")
+        if resume and os.path.exists(last_path):
+            state = self.ckpt.restore(last_path, state)
+            logger.info("resumed from %s at step %d", last_path,
+                        int(state.step))
+
+        if stage == "pre":
+            step_fn = make_pretrain_step(self.model, tx, cfg)
+        else:
+            step_fn = make_selftrain_step(self.model, tx, cfg)
+        feeder = BCPBatchFeeder(cfg, stage, sharding=self.sharding)
+        logger.info("%d iterations per epoch", feeder.steps_per_epoch)
+
+        base_key = jax.random.PRNGKey(cfg.seed + (0 if stage == "pre"
+                                                  else 1))
+        best_dice = 0.0
+        best_path = best_model_path(out_dir, cfg.net_type)
+        t0 = time.time()
+        start = int(state.step)
+        for it in range(start + 1, max_iterations + 1):
+            batch = next(feeder)
+            key = jax.random.fold_in(base_key, it)
+            state, metrics = step_fn(state, batch, key)
+            host_metrics = {k: float(v) for k, v in
+                            jax.device_get(metrics).items()}
+            for k, v in host_metrics.items():
+                writer.scalar(f"{stage}/{k}", v, it)
+            if stage == "self":
+                # computed + logged, never applied (reference parity —
+                # `LA_BCP_train.py:246,260`)
+                cw = cfg.consistency * float(
+                    sigmoid_rampup(it // 150, cfg.consistency_rampup))
+                writer.scalar("Self/consistency", cw, it)
+            logger.info("iteration %d : %s", it, " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(host_metrics.items())))
+
+            if it % cfg.eval_every == 0:
+                dice_sample = self.validate(state)
+                if dice_sample > best_dice:
+                    best_dice = round(dice_sample, 4)
+                    tagged = os.path.join(
+                        out_dir, f"iter_{it}_dice_{best_dice}")
+                    self.ckpt.save(tagged, state)
+                    self.ckpt.save(best_path, state)
+                    logger.info("save best model to %s", tagged)
+                self.ckpt.save(last_path, state)
+                writer.scalar("4_Var_dice/Dice", dice_sample, it)
+                writer.scalar("4_Var_dice/Best_dice", best_dice, it)
+
+        dt = time.time() - t0
+        done = max_iterations - start
+        logger.info("stage %s done: %d steps in %.1fs (%.3f s/step), "
+                    "best dice %.4f", stage, done, dt,
+                    dt / max(done, 1), best_dice)
+        feeder.close()
+        writer.close()
+        return best_dice, best_path
+
+    def pretrain(self, resume: bool = False) -> Tuple[float, str]:
+        return self._run_stage("pre", self.cfg.pre_iterations,
+                               resume=resume)
+
+    def selftrain(self, pretrained: Optional[str] = None,
+                  resume: bool = False) -> Tuple[float, str]:
+        init_from = pretrained or best_model_path(self.pre_dir,
+                                                  self.cfg.net_type)
+        return self._run_stage("self", self.cfg.self_iterations,
+                               init_from=init_from, resume=resume)
+
+    def run(self) -> Dict[str, float]:
+        pre_dice, _ = self.pretrain()
+        self_dice, _ = self.selftrain()
+        return {"pre_best_dice": pre_dice, "self_best_dice": self_dice}

@@ -1,0 +1,81 @@
+"""Logging + TensorBoard metric writer.
+
+Same observability surface as the reference (SURVEY.md §5): a per-stage
+``log.txt`` + stdout logger (`LA_BCP_train.py:363-370`) and tensorboardX
+scalars under the reference's tag names (`LA_BCP_train.py:164-166,260-263`).
+tensorboardX is optional — the writer degrades to a no-op if missing.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Optional
+
+try:
+    from tensorboardX import SummaryWriter
+except Exception:  # pragma: no cover
+    SummaryWriter = None
+
+
+def setup_logging(log_dir: str, name: str = "bcp_tpu") -> logging.Logger:
+    os.makedirs(log_dir, exist_ok=True)
+    logger = logging.getLogger(f"{name}:{log_dir}")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter(
+        "[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
+    fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))
+    fh.setFormatter(fmt)
+    logger.addHandler(fh)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    logger.propagate = False
+    return logger
+
+
+class MetricWriter:
+    def __init__(self, log_dir: Optional[str]):
+        self._writer = None
+        if log_dir is not None and SummaryWriter is not None:
+            os.makedirs(log_dir, exist_ok=True)
+            self._writer = SummaryWriter(log_dir)
+
+    def scalar(self, tag: str, value, step: int):
+        if self._writer is not None:
+            self._writer.add_scalar(tag, float(value), step)
+
+    def image(self, tag: str, img, step: int):
+        if self._writer is not None:
+            self._writer.add_image(tag, img, step)
+
+    def flush(self):
+        if self._writer is not None:
+            self._writer.flush()
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
+class AverageMeter:
+    """`pancreas/pancreas_utils.py:90-108`."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+        self.avg = 0.0
+        return self
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val
+        self.count += n
+        self.avg = self.sum / self.count
+        return self
