@@ -1,0 +1,41 @@
+"""Shared CLI helpers."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from flax.core import FrozenDict
+
+from bcp_tpu.config import Config
+from bcp_tpu.models import create_model
+from bcp_tpu.train.checkpoints import CheckpointIO
+
+
+def snapshot_dir(cfg: Config, stage_name: str) -> str:
+    run = f"{cfg.name}_{cfg.exp}_{cfg.labelnum}_labeled"
+    return os.path.join(cfg.snapshot_root, run, stage_name)
+
+
+def load_eval_variables(cfg: Config, ckpt_path: str):
+    """Build the eval-mode model + restore weights/BN stats from a saved
+    TrainState checkpoint (the `{model}_best_model` alias)."""
+    dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
+        cfg.compute_dtype).type
+    model = create_model(cfg.net_type, cfg.num_classes, mode="test",
+                         compute_dtype=dtype)
+    x = jnp.zeros((1, *cfg.patch_size, cfg.in_channels), jnp.float32)
+    init_vars = create_model(
+        cfg.net_type, cfg.num_classes, mode="train",
+        compute_dtype=dtype).init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    template = {"params": init_vars["params"],
+                "batch_stats": init_vars.get("batch_stats", FrozenDict())}
+    io = CheckpointIO()
+    got = io._restore_sections(ckpt_path, template, partial=True)
+    variables = {"params": got["params"]}
+    if len(jax.tree_util.tree_leaves(got["batch_stats"])) > 0:
+        variables["batch_stats"] = got["batch_stats"]
+    return model, variables

@@ -1,0 +1,63 @@
+"""Pancreas offline evaluation — mirrors `test_model` + `test_calculate_metric`
+(`pancreas/train_pancreas.py:181-187`, `pancreas/test_util.py:188-198`):
+center-cropped 96^3 volumes, sliding window stride 16/4 at final test,
+argmax labelling, (dice, jaccard, hd95, asd) means."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from bcp_tpu.cli.common import load_eval_variables, snapshot_dir
+from bcp_tpu.config import pancreas_config
+from bcp_tpu.data.datasets import PancreasDataset
+from bcp_tpu.data.transforms import pancreas_test_transform
+from bcp_tpu.eval.metrics import calculate_metric_percase
+from bcp_tpu.eval.sliding_window import SlidingWindowEvaluator
+from bcp_tpu.train.checkpoints import best_model_path
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Pancreas BCP evaluation (TPU)")
+    p.add_argument("--data_root", type=str, default="./data/pancreas")
+    p.add_argument("--label_percent", type=int, default=20)
+    p.add_argument("--stage_name", type=str, default="self_train")
+    p.add_argument("--snapshot_root", type=str, default="./result/cutmix")
+    p.add_argument("--stride_xy", type=int, default=16)
+    p.add_argument("--stride_z", type=int, default=4)
+    p.add_argument("--detail", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = pancreas_config(label_percent=args.label_percent).replace(
+        root_path=args.data_root, snapshot_root=args.snapshot_root,
+        stride_xy=args.stride_xy, stride_z=args.stride_z)
+    ckpt = best_model_path(snapshot_dir(cfg, args.stage_name), cfg.net_type)
+    model, variables = load_eval_variables(cfg, ckpt)
+    print(f"init weight from {ckpt}")
+
+    evaluator = SlidingWindowEvaluator(
+        model, cfg.patch_size, cfg.num_classes, cfg.stride_xy,
+        cfg.stride_z, batch=cfg.eval_batch)
+    ds = PancreasDataset(cfg.root_path, "test")
+    total = np.zeros(4)
+    for i in range(len(ds)):
+        image, label = ds.load(i)
+        image, label = pancreas_test_transform(image, label,
+                                               cfg.patch_size)
+        pred, _ = evaluator.infer(variables, image, rule="argmax")
+        m = ((0.0, 0.0, 0.0, 0.0) if pred.sum() == 0
+             else calculate_metric_percase(pred, label))
+        if args.detail:
+            print("%02d,\t%.5f, %.5f, %.5f, %.5f" % (i, *m))
+        total += np.asarray(m)
+    avg = total / len(ds)
+    print(f"average metric is {avg}")
+    return avg
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Pancreas two-stage BCP training CLI — the reference uses module globals
+(`code/pancreas/train_pancreas.py:22-48`); exposed here as flags."""
+
+from __future__ import annotations
+
+import argparse
+
+from bcp_tpu.config import pancreas_config
+from bcp_tpu.train.trainer import BCPTrainer
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Pancreas BCP training (TPU)")
+    p.add_argument("--data_root", type=str, default="./data/pancreas")
+    p.add_argument("--label_percent", type=int, default=20,
+                   choices=[10, 20])
+    p.add_argument("--batch_size", type=int, default=2,
+                   help="per-stream batch (reference batch_size=2)")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--pretraining_epochs", type=int, default=60)
+    p.add_argument("--self_training_epochs", type=int, default=200)
+    p.add_argument("--seed", type=int, default=2020)
+    p.add_argument("--snapshot_root", type=str, default="./result/cutmix")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--stage", type=str, default="both",
+                   choices=["both", "pre", "self"])
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = pancreas_config(label_percent=args.label_percent).replace(
+        root_path=args.data_root, base_lr=args.lr, seed=args.seed,
+        batch_size=4 * args.batch_size, labeled_bs=2 * args.batch_size,
+        snapshot_root=args.snapshot_root,
+        compute_dtype=args.compute_dtype)
+    # epoch -> iteration conversion happens against the actual list sizes
+    trainer = BCPTrainer(cfg)
+    from bcp_tpu.data.feed import BCPBatchFeeder
+    pre_feeder = BCPBatchFeeder(cfg, "pre")
+    pre_iters = args.pretraining_epochs * pre_feeder.steps_per_epoch
+    pre_feeder.close()
+    self_feeder = BCPBatchFeeder(cfg, "self")
+    self_iters = args.self_training_epochs * self_feeder.steps_per_epoch
+    self_feeder.close()
+    trainer.cfg = cfg.replace(pre_iterations=pre_iters,
+                              self_iterations=self_iters)
+    if args.stage in ("both", "pre"):
+        trainer.pretrain(resume=args.resume)
+    if args.stage in ("both", "self"):
+        trainer.selftrain(resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

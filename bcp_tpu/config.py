@@ -27,6 +27,15 @@ class Config:
     num_classes: int = 2
     in_channels: int = 1
     dims: int = 3
+    # Mixed precision: bf16 convs/norms on the MXU, float32 params,
+    # losses and logits. 'float32' for bitwise-conservative runs.
+    compute_dtype: str = "bfloat16"
+    # Fuse the two mixed sub-batches (teacher and student) into single
+    # concat forwards with 2-group BatchNorm — numerically identical to
+    # the reference's separate forwards (see layers.TorchBatchNorm) and
+    # ~18% faster per step (291ms vs 344ms on v5e at LA shapes). Costs a
+    # longer first compile (~3 min, cached thereafter).
+    fuse_subbatches: bool = True
 
     # ---- data
     root_path: str = "./data/LA"

@@ -46,8 +46,13 @@ def _vnet_pancreas(class_num: int = 2, mode: str = "train", **kw):
                   has_dropout=False, **kw)
 
 
-def create_model(net_type: str, class_num: int, mode: str = "train", **kw):
+def create_model(net_type: str, class_num: int, mode: str = "train",
+                 compute_dtype=None, **kw):
+    """``compute_dtype`` (e.g. jnp.bfloat16) enables mixed precision:
+    bf16 convs/norms on the MXU, float32 params and logits."""
     if net_type not in MODEL_REGISTRY:
         raise KeyError(
             f"unknown net_type {net_type!r}; have {sorted(MODEL_REGISTRY)}")
+    if compute_dtype is not None:
+        kw["dtype"] = compute_dtype
     return MODEL_REGISTRY[net_type](class_num=class_num, mode=mode, **kw)

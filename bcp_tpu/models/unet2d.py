@@ -28,18 +28,21 @@ class ConvBlock(nn.Module):
     between the two conv-BN-LeakyReLU pairs."""
     features: int
     dropout_p: float
+    dtype: object = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = conv(self.features, (3, 3), name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn0")(x)
+        from bcp_tpu.models.layers import TorchBatchNorm
+        x = conv(self.features, (3, 3), name="conv0", dtype=self.dtype)(x)
+        x = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                           groups=self.groups, name="bn0")(x, not train)
         x = nn.leaky_relu(x, negative_slope=0.01)
         x = nn.Dropout(self.dropout_p, name="dropout")(
             x, deterministic=not train)
-        x = conv(self.features, (3, 3), name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+        x = conv(self.features, (3, 3), name="conv1", dtype=self.dtype)(x)
+        x = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                           groups=self.groups, name="bn1")(x, not train)
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
@@ -48,40 +51,49 @@ class UpBlock(nn.Module):
     (align_corners=True) -> concat skip -> ConvBlock."""
     skip_features: int
     out_features: int
+    dtype: object = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x_deep, x_skip, train: bool):
-        x = conv(self.skip_features, (1, 1), name="conv1x1")(x_deep)
+        x = conv(self.skip_features, (1, 1), name="conv1x1",
+                 dtype=self.dtype)(x_deep)
         x = upsample2x_align_corners(x)
-        x = jax.numpy.concatenate([x_skip, x], axis=-1)
-        return ConvBlock(self.out_features, 0.0, name="conv")(x, train)
+        x = jax.numpy.concatenate([x_skip.astype(x.dtype), x], axis=-1)
+        return ConvBlock(self.out_features, 0.0, dtype=self.dtype,
+                         groups=self.groups, name="conv")(x, train)
 
 
 class UNet2D(nn.Module):
     n_classes: int = 4
     feature_chns: Sequence[int] = (16, 32, 64, 128, 256)
     dropout: Sequence[float] = (0.05, 0.1, 0.2, 0.3, 0.5)
+    dtype: object = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array,
                  train: bool = False) -> Tuple[jax.Array, jax.Array]:
         ft, dp = self.feature_chns, self.dropout
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         # ---- encoder (`unet.py:80-86`)
-        x0 = ConvBlock(ft[0], dp[0], name="in_conv")(x, train)
-        x1 = ConvBlock(ft[1], dp[1], name="down1")(
+        x0 = ConvBlock(ft[0], dp[0], dtype=self.dtype, groups=self.bn_groups, name="in_conv")(x, train)
+        x1 = ConvBlock(ft[1], dp[1], dtype=self.dtype, groups=self.bn_groups, name="down1")(
             nn.max_pool(x0, (2, 2), (2, 2)), train)
-        x2 = ConvBlock(ft[2], dp[2], name="down2")(
+        x2 = ConvBlock(ft[2], dp[2], dtype=self.dtype, groups=self.bn_groups, name="down2")(
             nn.max_pool(x1, (2, 2), (2, 2)), train)
-        x3 = ConvBlock(ft[3], dp[3], name="down3")(
+        x3 = ConvBlock(ft[3], dp[3], dtype=self.dtype, groups=self.bn_groups, name="down3")(
             nn.max_pool(x2, (2, 2), (2, 2)), train)
-        x4 = ConvBlock(ft[4], dp[4], name="down4")(
+        x4 = ConvBlock(ft[4], dp[4], dtype=self.dtype, groups=self.bn_groups, name="down4")(
             nn.max_pool(x3, (2, 2), (2, 2)), train)
 
         # ---- decoder (`unet.py:104-116`): concat skips
-        y = UpBlock(ft[3], ft[3], name="up1")(x4, x3, train)
-        y = UpBlock(ft[2], ft[2], name="up2")(y, x2, train)
-        y = UpBlock(ft[1], ft[1], name="up3")(y, x1, train)
-        x_last = UpBlock(ft[0], ft[0], name="up4")(y, x0, train)
-        logits = conv(self.n_classes, (3, 3), name="out_conv")(x_last)
-        return logits, x_last
+        y = UpBlock(ft[3], ft[3], dtype=self.dtype, groups=self.bn_groups, name="up1")(x4, x3, train)
+        y = UpBlock(ft[2], ft[2], dtype=self.dtype, groups=self.bn_groups, name="up2")(y, x2, train)
+        y = UpBlock(ft[1], ft[1], dtype=self.dtype, groups=self.bn_groups, name="up3")(y, x1, train)
+        x_last = UpBlock(ft[0], ft[0], dtype=self.dtype, groups=self.bn_groups, name="up4")(y, x0, train)
+        logits = conv(self.n_classes, (3, 3), name="out_conv",
+                      dtype=self.dtype)(x_last)
+        return logits.astype(jax.numpy.float32), x_last

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from bcp_tpu.models.layers import (
@@ -40,12 +41,16 @@ class ConvStage(nn.Module):
     n_stages: int
     features: int
     normalization: str = "none"
+    dtype: object = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(self.n_stages):
-            x = conv(self.features, (3, 3, 3), name=f"conv{i}")(x)
-            x = Norm(self.normalization, name=f"norm{i}")(x, train)
+            x = conv(self.features, (3, 3, 3), name=f"conv{i}",
+                     dtype=self.dtype)(x)
+            x = Norm(self.normalization, dtype=self.dtype,
+                     groups=self.groups, name=f"norm{i}")(x, train)
             x = nn.relu(x)
         return x
 
@@ -56,13 +61,17 @@ class ResidualConvStage(nn.Module):
     n_stages: int
     features: int
     normalization: str = "none"
+    dtype: object = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         for i in range(self.n_stages):
-            x = conv(self.features, (3, 3, 3), name=f"conv{i}")(x)
-            x = Norm(self.normalization, name=f"norm{i}")(x, train)
+            x = conv(self.features, (3, 3, 3), name=f"conv{i}",
+                     dtype=self.dtype)(x)
+            x = Norm(self.normalization, dtype=self.dtype,
+                     groups=self.groups, name=f"norm{i}")(x, train)
             if i != self.n_stages - 1:
                 x = nn.relu(x)
         return nn.relu(x + residual)
@@ -72,12 +81,15 @@ class DownBlock(nn.Module):
     """`DownsamplingConvBlock` (`VNet.py:68-92`): 2^3 conv stride 2."""
     features: int
     normalization: str = "none"
+    dtype: object = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = conv(self.features, (2, 2, 2), strides=(2, 2, 2),
-                 padding="VALID", name="conv")(x)
-        x = Norm(self.normalization, name="norm")(x, train)
+                 padding="VALID", name="conv", dtype=self.dtype)(x)
+        x = Norm(self.normalization, dtype=self.dtype, groups=self.groups,
+                 name="norm")(x, train)
         return nn.relu(x)
 
 
@@ -85,12 +97,15 @@ class UpBlock(nn.Module):
     """`UpsamplingDeconvBlock` (`VNet.py:95-119`): 2^3 deconv stride 2."""
     features: int
     normalization: str = "none"
+    dtype: object = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = conv_transpose(self.features, (2, 2, 2), (2, 2, 2),
-                           name="deconv")(x)
-        x = Norm(self.normalization, name="norm")(x, train)
+                           name="deconv", dtype=self.dtype)(x)
+        x = Norm(self.normalization, dtype=self.dtype, groups=self.groups,
+                 name="norm")(x, train)
         return nn.relu(x)
 
 
@@ -101,38 +116,47 @@ class VNet3D(nn.Module):
     # pancreas: instancenorm (pancreas/Vnet.py:93)
     has_dropout: bool = False
     has_residual: bool = False
+    # compute dtype for mixed precision (params stay float32; logits are
+    # cast back to float32 so losses/metrics are full precision)
+    dtype: object = None
+    # BN batch-grouping: G concatenated sub-batches normalised separately
+    # (see layers.TorchBatchNorm); the self-train step uses G=2
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array,
                  train: bool = False) -> Tuple[jax.Array, jax.Array]:
         nf, norm = self.n_filters, self.normalization
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         stage = ResidualConvStage if self.has_residual else ConvStage
 
         # ---- encoder (`VNet.py:167-186`)
-        x1 = stage(1, nf, norm, name="block_one")(x, train)
-        x1_dw = DownBlock(2 * nf, norm, name="block_one_dw")(x1, train)
-        x2 = stage(2, 2 * nf, norm, name="block_two")(x1_dw, train)
-        x2_dw = DownBlock(4 * nf, norm, name="block_two_dw")(x2, train)
-        x3 = stage(3, 4 * nf, norm, name="block_three")(x2_dw, train)
-        x3_dw = DownBlock(8 * nf, norm, name="block_three_dw")(x3, train)
-        x4 = stage(3, 8 * nf, norm, name="block_four")(x3_dw, train)
-        x4_dw = DownBlock(16 * nf, norm, name="block_four_dw")(x4, train)
-        x5 = stage(3, 16 * nf, norm, name="block_five")(x4_dw, train)
+        x1 = stage(1, nf, norm, self.dtype, self.bn_groups, name="block_one")(x, train)
+        x1_dw = DownBlock(2 * nf, norm, self.dtype, self.bn_groups, name="block_one_dw")(x1, train)
+        x2 = stage(2, 2 * nf, norm, self.dtype, self.bn_groups, name="block_two")(x1_dw, train)
+        x2_dw = DownBlock(4 * nf, norm, self.dtype, self.bn_groups, name="block_two_dw")(x2, train)
+        x3 = stage(3, 4 * nf, norm, self.dtype, self.bn_groups, name="block_three")(x2_dw, train)
+        x3_dw = DownBlock(8 * nf, norm, self.dtype, self.bn_groups, name="block_three_dw")(x3, train)
+        x4 = stage(3, 8 * nf, norm, self.dtype, self.bn_groups, name="block_four")(x3_dw, train)
+        x4_dw = DownBlock(16 * nf, norm, self.dtype, self.bn_groups, name="block_four_dw")(x4, train)
+        x5 = stage(3, 16 * nf, norm, self.dtype, self.bn_groups, name="block_five")(x4_dw, train)
         if self.has_dropout:
             x5 = nn.Dropout(0.5, broadcast_dims=spatial_broadcast_dims(
                 x5.ndim), name="enc_dropout")(x5, deterministic=not train)
 
         # ---- decoder (`VNet.py:213-239`): additive skips
-        x5_up = UpBlock(8 * nf, norm, name="block_five_up")(x5, train) + x4
-        x6 = stage(3, 8 * nf, norm, name="block_six")(x5_up, train)
-        x6_up = UpBlock(4 * nf, norm, name="block_six_up")(x6, train) + x3
-        x7 = stage(3, 4 * nf, norm, name="block_seven")(x6_up, train)
-        x7_up = UpBlock(2 * nf, norm, name="block_seven_up")(x7, train) + x2
-        x8 = stage(2, 2 * nf, norm, name="block_eight")(x7_up, train)
-        x8_up = UpBlock(nf, norm, name="block_eight_up")(x8, train) + x1
-        x9 = stage(1, nf, norm, name="block_nine")(x8_up, train)
+        x5_up = UpBlock(8 * nf, norm, self.dtype, self.bn_groups, name="block_five_up")(x5, train) + x4
+        x6 = stage(3, 8 * nf, norm, self.dtype, self.bn_groups, name="block_six")(x5_up, train)
+        x6_up = UpBlock(4 * nf, norm, self.dtype, self.bn_groups, name="block_six_up")(x6, train) + x3
+        x7 = stage(3, 4 * nf, norm, self.dtype, self.bn_groups, name="block_seven")(x6_up, train)
+        x7_up = UpBlock(2 * nf, norm, self.dtype, self.bn_groups, name="block_seven_up")(x7, train) + x2
+        x8 = stage(2, 2 * nf, norm, self.dtype, self.bn_groups, name="block_eight")(x7_up, train)
+        x8_up = UpBlock(nf, norm, self.dtype, self.bn_groups, name="block_eight_up")(x8, train) + x1
+        x9 = stage(1, nf, norm, self.dtype, self.bn_groups, name="block_nine")(x8_up, train)
         if self.has_dropout:
             x9 = nn.Dropout(0.5, broadcast_dims=spatial_broadcast_dims(
                 x9.ndim), name="dec_dropout")(x9, deterministic=not train)
-        out_seg = conv(self.n_classes, (1, 1, 1), name="out_conv")(x9)
-        return out_seg, x8_up
+        out_seg = conv(self.n_classes, (1, 1, 1), name="out_conv",
+                       dtype=self.dtype)(x9)
+        return out_seg.astype(jnp.float32), x8_up

@@ -69,6 +69,18 @@ def _teacher_forward(model, params, batch_stats, x, dropout_key):
     return jax.lax.stop_gradient(logits)
 
 
+def _grouped(model):
+    """Clone a model with 2-group BatchNorm for the concat forward of the
+    two mixed sub-batches. The reference issues separate forwards per
+    sub-stream (`LA_BCP_train.py:241-242,252-253`); a concat forward with
+    per-group BN statistics (layers.TorchBatchNorm) is numerically
+    identical while keeping the MXU batch large — and, unlike a vmapped
+    pair of forwards, its gradient fits v5e HBM at the real LA shapes."""
+    if hasattr(model, "bn_groups"):
+        return model.clone(bn_groups=2)
+    return model
+
+
 def _sample_mask(cfg: Config, key: jax.Array) -> jax.Array:
     if cfg.mask_kind == "fixed":
         return masks.cuboid_mask_fixed(key, cfg.patch_size, cfg.mask_patch)
@@ -187,40 +199,59 @@ def make_selftrain_step(model, tx: optax.GradientTransformation,
         # pancreas
         return masks.mix(ua, b, mask), masks.mix(a, ub, mask)
 
-    def loss_fn(params, batch_stats, batch, plab_a, plab_b, mask, dkeys):
+    gmodel = _grouped(model) if cfg.fuse_subbatches else model
+
+    def loss_fn(params, batch_stats, batch, plab_a, plab_b, mask, dkey):
         in1, in2 = mixed_inputs(batch, mask)
-        # Two separate forwards, as in the reference (`LA_BCP_train.py:
-        # 252-253`) — keeps per-forward BN statistics identical; the BN
-        # running stats thread through sequentially.
-        logits1, bs1 = _apply_train(model, params, batch_stats, in1,
-                                    dkeys[0])
-        logits2, bs2 = _apply_train(model, params, bs1, in2, dkeys[1])
-        loss, parts = losses_for(logits1, logits2, batch, plab_a, plab_b,
-                                 mask)
+        n = in1.shape[0]
+        if cfg.fuse_subbatches:
+            # One concat forward with 2-group BN == the reference's two
+            # separate forwards (`LA_BCP_train.py:252-253`).
+            logits, new_bs = _apply_train(gmodel, params, batch_stats,
+                                          jnp.concatenate([in1, in2]),
+                                          dkey)
+            logits1, logits2 = logits[:n], logits[n:]
+        else:
+            # Two sequential forwards, as in the reference; BN running
+            # stats thread through forward-by-forward.
+            k1, k2 = jax.random.split(dkey)
+            logits1, bs1 = _apply_train(model, params, batch_stats, in1,
+                                        k1)
+            logits2, new_bs = _apply_train(model, params, bs1, in2, k2)
+        loss, parts = losses_for(logits1, logits2, batch, plab_a,
+                                 plab_b, mask)
         parts["loss"] = loss
-        return loss, (bs2, parts)
+        return loss, (new_bs, parts)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jax.Array],
              key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        mask_key, tkey_a, tkey_b, skey_1, skey_2 = jax.random.split(key, 5)
+        mask_key, tkey, skey = jax.random.split(key, 3)
 
-        # Teacher pseudo-labels, one forward per unlabeled sub-stream
-        # (`LA_BCP_train.py:240-244`), NMS on device.
-        t_logits_a = _teacher_forward(model, state.teacher_params,
-                                      state.teacher_batch_stats,
-                                      batch["uimg_a"], tkey_a)
-        t_logits_b = _teacher_forward(model, state.teacher_params,
-                                      state.teacher_batch_stats,
-                                      batch["uimg_b"], tkey_b)
-        plab_a = _pseudo_label(cfg, t_logits_a)
-        plab_b = _pseudo_label(cfg, t_logits_b)
+        # Teacher pseudo-labels for the two unlabeled sub-streams
+        # (`LA_BCP_train.py:240-244`); NMS stays on device.
+        usub = batch["uimg_a"].shape[0]
+        if cfg.fuse_subbatches:
+            t_logits = _teacher_forward(
+                gmodel, state.teacher_params, state.teacher_batch_stats,
+                jnp.concatenate([batch["uimg_a"], batch["uimg_b"]]), tkey)
+            plab = _pseudo_label(cfg, t_logits)
+        else:
+            tk1, tk2 = jax.random.split(tkey)
+            t_a = _teacher_forward(model, state.teacher_params,
+                                   state.teacher_batch_stats,
+                                   batch["uimg_a"], tk1)
+            t_b = _teacher_forward(model, state.teacher_params,
+                                   state.teacher_batch_stats,
+                                   batch["uimg_b"], tk2)
+            plab = _pseudo_label(cfg, jnp.concatenate([t_a, t_b]))
+        plab_a, plab_b = plab[:usub], plab[usub:]
 
         mask = _sample_mask(cfg, mask_key)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, plab_a, plab_b, mask,
-            (skey_1, skey_2))
+            skey)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 

@@ -47,9 +47,13 @@ class BCPTrainer:
         run = f"{cfg.name}_{cfg.exp}_{cfg.labelnum}_labeled"
         self.pre_dir = os.path.join(root, run, "pre_train")
         self.self_dir = os.path.join(root, run, "self_train")
-        self.model = create_model(cfg.net_type, cfg.num_classes)
+        import jax.numpy as jnp
+        dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
+            cfg.compute_dtype).type
+        self.model = create_model(cfg.net_type, cfg.num_classes,
+                                  compute_dtype=dtype)
         self.eval_model = create_model(cfg.net_type, cfg.num_classes,
-                                       mode="test")
+                                       mode="test", compute_dtype=dtype)
         self.ckpt = CheckpointIO()
         self._val_cases: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
         if cfg.dims == 3:

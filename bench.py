@@ -1,0 +1,93 @@
+"""Benchmark: LA BCP self-train throughput on one chip.
+
+Measures the BASELINE.json north-star metric — 3D patches/sec/chip through
+the *full* self-train update (teacher pseudo-labelling with largest-CC NMS,
+cuboid mask mixing, two student forwards, masked Dice+CE backward, SGD +
+EMA) at the reference's real configuration: V-Net, 112x112x80 patches,
+batch 8 (4 labeled + 4 unlabeled) — `LA_BCP_train.py:36-55,234-270`.
+
+Baseline: the reference publishes no throughput numbers (README gives only
+"one RTX 3090"). The reference step on a 3090 is bounded below by ~0.75
+s/iter (16 forward-equivalents of a 190-GFLOP V-Net at optimistic fp32
+utilisation, *plus* the per-iteration CPU largest-CC round-trip,
+`LA_BCP_train.py:65-77`), i.e. <= ~10.7 patches/s. vs_baseline uses that
+estimate; the north star is >=3x reference wall-clock.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+ASSUMED_BASELINE_PATCHES_PER_SEC = 10.7  # RTX 3090 estimate, see docstring
+
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    # persistent XLA compile cache: the fused step's first compile is
+    # minutes; subsequent bench runs hit the cache
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/bcp_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    from bcp_tpu.config import la_config
+    from bcp_tpu.models import create_model
+    from bcp_tpu.train import (build_optimizer, init_state,
+                               make_selftrain_step)
+
+    cfg = la_config()  # real LA configuration (bf16 compute, f32 params)
+    model = create_model(cfg.net_type, cfg.num_classes,
+                         compute_dtype=jnp.bfloat16)
+    tx = build_optimizer(cfg, "self")
+    state = init_state(model, cfg, jax.random.PRNGKey(0), tx)
+    step = make_selftrain_step(model, tx, cfg)
+
+    sub, usub = cfg.labeled_sub_bs, cfg.unlabeled_sub_bs
+    S = cfg.patch_size
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    batch = {
+        "img_a": jax.random.normal(ks[0], (sub, *S, 1), jnp.float32),
+        "img_b": jax.random.normal(ks[1], (sub, *S, 1), jnp.float32),
+        "lab_a": jax.random.randint(ks[2], (sub, *S), 0, 2),
+        "lab_b": jax.random.randint(ks[3], (sub, *S), 0, 2),
+        "uimg_a": jax.random.normal(ks[4], (usub, *S, 1), jnp.float32),
+        "uimg_b": jax.random.normal(ks[5], (usub, *S, 1), jnp.float32),
+    }
+    batch = jax.device_put(batch)
+
+    # NOTE: on the tunneled axon backend block_until_ready does not
+    # actually gate on remote completion; fetching a scalar does.
+    for i in range(WARMUP):
+        state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    patches_per_sec = cfg.batch_size / dt
+    result = {
+        "metric": "3D patches/sec/chip (LA BCP self-train step, "
+                  "VNet 112x112x80 batch 8)",
+        "value": round(patches_per_sec, 3),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(
+            patches_per_sec / ASSUMED_BASELINE_PATCHES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
