@@ -36,9 +36,15 @@ class Slice2DEvaluator:
 
         @jax.jit
         def forward(variables, x):
-            logits = model.apply(variables, x, train=False)
-            if isinstance(logits, tuple):
-                logits = logits[0]
+            def one(v):
+                out = model.apply(v, x, train=False)
+                return out[0] if isinstance(out, tuple) else out
+            if isinstance(variables, (list, tuple)):
+                # two-model ensemble: average logits —
+                # `test_single_volume_cross` (`val_2d.py:43-63`)
+                logits = sum(one(v) for v in variables) / len(variables)
+            else:
+                logits = one(variables)
             return jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)
 
         self._fns[n] = forward
@@ -48,6 +54,8 @@ class Slice2DEvaluator:
         """image (n_slices, H, W) -> label volume, argmax rule
         (`val_2d.py:27-37`: nearest zoom to patch, net, argmax, zoom
         back)."""
+        if isinstance(variables, (list, tuple)):
+            variables = tuple(variables)
         n, x, y = image.shape
         zoomed = np.stack([
             ndimage.zoom(image[i], (self.patch[0] / x, self.patch[1] / y),

@@ -99,9 +99,17 @@ class SlidingWindowEvaluator:
                 return jax.lax.dynamic_slice(volume, (s[0], s[1], s[2]),
                                              patch)
             patches = jax.vmap(gather)(starts)[..., None]
-            logits = model.apply(variables, patches, train=False)
-            if isinstance(logits, tuple):
-                logits = logits[0]
+
+            def forward(v):
+                out = model.apply(v, patches, train=False)
+                return out[0] if isinstance(out, tuple) else out
+
+            if isinstance(variables, (list, tuple)):
+                # two-model ensemble: average logits before softmax —
+                # `test_single_case_plus` (`test_3d_patch.py:249-253`)
+                logits = sum(forward(v) for v in variables) / len(variables)
+            else:
+                logits = forward(variables)
             probs = jax.nn.softmax(logits, axis=-1)
             probs = probs * valid[:, None, None, None, None]
 
@@ -128,7 +136,13 @@ class SlidingWindowEvaluator:
         """Run one volume; returns (label_map, score_map[C,...]-first) with
         the reference's decision rules: 'threshold' = class-1 prob > 0.5
         (`test_3d_patch.py:137`), 'argmax' (`pancreas/test_util.py:146`).
+
+        ``variables`` may be a list/tuple of variable dicts for the
+        two-model ensemble variants (`test_all_case_plus`,
+        `var_all_case_LA_plus`, `test_3d_patch.py:144-266`).
         """
+        if isinstance(variables, (list, tuple)):
+            variables = tuple(variables)
         orig_shape = image.shape
         image, off = pad_to_patch(image.astype(np.float32), self.patch)
         grid_shape = image.shape

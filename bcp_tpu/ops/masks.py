@@ -134,6 +134,45 @@ def slab_mask(key: jax.Array, spatial: Sequence[int],
     return _box_mask(spatial, starts, sizes)
 
 
+def bbox_nd(mask: jax.Array) -> jax.Array:
+    """Per-axis (min, max+1) bounds of the nonzero region, jittable.
+
+    `get_bbox_3d` (`utils/BCP_utils.py:124-138`) semantics including the
+    empty-mask fallback (min = max = 0, then max += 1).
+    """
+    ndim = mask.ndim
+    nz = mask != 0
+    any_at_all = nz.any()
+    bounds = []
+    for d in range(ndim):
+        other = tuple(i for i in range(ndim) if i != d)
+        occ = nz.any(axis=other)
+        n = occ.shape[0]
+        lo = jnp.argmax(occ)
+        hi = n - 1 - jnp.argmax(occ[::-1])
+        lo = jnp.where(any_at_all, lo, 0)
+        hi = jnp.where(any_at_all, hi, 0)
+        bounds.append(jnp.stack([lo, hi + 1]))
+    return jnp.stack(bounds).astype(jnp.int32)
+
+
+def bbox_mask(masks: jax.Array) -> jax.Array:
+    """Batched: 0 inside each sample's nonzero bounding box, 1 outside —
+    `get_bbox_mask` (`utils/BCP_utils.py:140-147`). masks (N, *spatial)."""
+    spatial = masks.shape[1:]
+
+    def one(m):
+        b = bbox_nd(m)
+        inside = None
+        for d, dim in enumerate(spatial):
+            coords = jax.lax.broadcasted_iota(jnp.int32, spatial, d)
+            in_d = (coords >= b[d, 0]) & (coords < b[d, 1])
+            inside = in_d if inside is None else (inside & in_d)
+        return 1 - inside.astype(jnp.int32)
+
+    return jax.vmap(one)(masks)
+
+
 def mix(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
     """``a * mask + b * (1 - mask)`` with broadcasting over batch/channel.
 

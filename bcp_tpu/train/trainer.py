@@ -43,6 +43,7 @@ class BCPTrainer:
                  sharding=None, log_images: bool = False):
         self.cfg = cfg
         self.sharding = sharding
+        self.log_images = log_images
         root = snapshot_root or cfg.snapshot_root
         run = f"{cfg.name}_{cfg.exp}_{cfg.labelnum}_labeled"
         self.pre_dir = os.path.join(root, run, "pre_train")
@@ -177,6 +178,12 @@ class BCPTrainer:
             logger.info("iteration %d : %s", it, " ".join(
                 f"{k}: {v:.4f}" for k, v in sorted(host_metrics.items())))
 
+            if self.log_images and it % cfg.eval_every == 1:
+                try:
+                    self._log_images(writer, state, batch, it, stage)
+                except Exception:
+                    logger.exception("image logging failed")
+
             if it % cfg.eval_every == 0:
                 dice_sample = self.validate(state)
                 if dice_sample > best_dice:
@@ -198,6 +205,29 @@ class BCPTrainer:
         feeder.close()
         writer.close()
         return best_dice, best_path
+
+    def _log_images(self, writer: MetricWriter, state: TrainState,
+                    batch, it: int, stage: str):
+        """Input / label / prediction panels, the counterpart of the
+        reference's snapshot grids (`LA_BCP_train.py:294-340`,
+        `ACDC_BCP_train.py:265-271`). Logged as a 3-row montage of the
+        first sample (mid z-slice for 3D)."""
+        img = np.asarray(batch["img_a"][0, ..., 0])
+        lab = np.asarray(batch["lab_a"][0]).astype(np.float32)
+        variables = self._eval_variables(state)
+        out = self.eval_model.apply(variables, batch["img_a"][:1],
+                                    train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        pred = np.asarray(jax.numpy.argmax(logits[0], axis=-1)).astype(
+            np.float32)
+        if img.ndim == 3:  # 3D volume -> mid z slice
+            z = img.shape[-1] // 2
+            img, lab, pred = img[..., z], lab[..., z], pred[..., z]
+        rng = img.max() - img.min()
+        img = (img - img.min()) / (rng if rng > 0 else 1.0)
+        denom = max(self.cfg.num_classes - 1, 1)
+        panel = np.concatenate([img, lab / denom, pred / denom], axis=0)
+        writer.image(f"{stage}/snapshot", panel[None], it)
 
     def pretrain(self, resume: bool = False) -> Tuple[float, str]:
         return self._run_stage("pre", self.cfg.pre_iterations,

@@ -79,3 +79,46 @@ class AverageMeter:
         self.count += n
         self.avg = self.sum / self.count
         return self
+
+
+class Measures:
+    """Keyed AverageMeter group with tensorboard/log emission —
+    `pancreas/pancreas_utils.py:111-150,223-251` (`CutPreMeasures` /
+    `CutmixFTMeasures` are instances with specific key sets)."""
+
+    def __init__(self, keys, writer: "MetricWriter", logger, prefix: str
+                 = "pretrain"):
+        self.keys = list(keys)
+        self.measures = {k: AverageMeter() for k in self.keys}
+        self.writer = writer
+        self.logger = logger
+        self.prefix = prefix
+
+    def reset(self):
+        for v in self.measures.values():
+            v.reset()
+
+    def update(self, **values):
+        for k, v in values.items():
+            self.measures[k].update(float(v))
+
+    def log(self, epoch: int, step: int):
+        parts = ", ".join(f"{k}: {self.measures[k].val:.4f}"
+                          for k in self.keys)
+        if self.logger is not None:
+            self.logger.info("Epoch : %d, %s", epoch, parts)
+        for k, m in self.measures.items():
+            self.writer.scalar(f"{self.prefix}/{k}", m.avg, step)
+        self.writer.flush()
+
+
+def cut_pre_measures(writer, logger):
+    """`CutPreMeasures` (`pancreas_utils.py:122-150`)."""
+    return Measures(["ce_loss", "dice_loss", "loss_all", "train_dice"],
+                    writer, logger)
+
+
+def cutmix_ft_measures(writer, logger):
+    """`CutmixFTMeasures` (`pancreas_utils.py:223-251`)."""
+    return Measures(["mix_loss_lab", "mix_loss_unlab", "loss_all"],
+                    writer, logger)
