@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Any, Callable, Dict
 
 from bcp_tpu.models.unet2d import UNet2D
+from bcp_tpu.models.unet3d import UNet3D
+from bcp_tpu.models.unetr import UNETR
 from bcp_tpu.models.vnet3d import VNet3D
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
@@ -44,6 +46,26 @@ def _vnet_pancreas(class_num: int = 2, mode: str = "train", **kw):
     instancenorm, no dropout by default."""
     return VNet3D(n_classes=class_num, normalization="instancenorm",
                   has_dropout=False, **kw)
+
+
+@register("unet_3D")
+def _unet3d(class_num: int = 2, mode: str = "train", **kw):
+    """Residual 3D U-Net (`networks/Unet3D.py:8-92`; zoo model, no
+    reference entry point uses it)."""
+    return UNet3D(n_classes=class_num, **kw)
+
+
+@register("unet_3D_dtc")
+def _unet3d_dtc(class_num: int = 2, mode: str = "train", **kw):
+    """`UNet_DTC` dual-head variant (`networks/Unet3D.py:93-133`)."""
+    return UNet3D(n_classes=class_num, n_heads=2, **kw)
+
+
+@register("unetr")
+def _unetr(class_num: int = 2, mode: str = "train", img_shape=(128, 128,
+           128), **kw):
+    """ViT-encoder UNETR (`networks/unetr.py:194-296`; zoo model)."""
+    return UNETR(n_classes=class_num, img_shape=img_shape, **kw)
 
 
 def create_model(net_type: str, class_num: int, mode: str = "train",

@@ -1,0 +1,84 @@
+"""Zoo models (reference C26): UNet3D (residual) and UNETR forward shapes
+and registration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bcp_tpu.models import UNETR, UNet3D, create_model
+
+
+def test_unet3d_forward():
+    model = UNet3D(n_classes=2, feat_channels=(4, 8, 8, 16, 32))
+    x = jnp.zeros((1, 32, 32, 16, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    (logits, feats), _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)})
+    assert logits.shape == (1, 32, 32, 16, 2)
+    assert feats.shape[-1] == 4
+
+
+def test_unet3d_dtc_two_heads():
+    model = create_model("unet_3D_dtc", class_num=2,
+                         feat_channels=(4, 8, 8, 16, 32))
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    heads, feats = model.apply(variables, x, train=False)
+    assert len(heads) == 2
+    assert heads[0].shape == heads[1].shape == (1, 16, 16, 16, 2)
+
+
+def test_unet3d_nonresidual_param_reduction():
+    kw = dict(n_classes=2, feat_channels=(4, 8, 8, 16, 32))
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    n = {}
+    for res in (True, False):
+        m = UNet3D(residual=res, **kw)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=False)
+        n[res] = sum(int(np.prod(p.shape))
+                     for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n[True] > n[False]  # 1x1 residual adapters add params
+
+
+def test_unetr_forward():
+    model = UNETR(img_shape=(32, 32, 32), n_classes=2, embed_dim=64,
+                  patch_size=16, num_heads=4, num_layers=4,
+                  ext_layers=(1, 2, 3, 4))
+    x = jnp.zeros((1, 32, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    logits, z0 = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 32, 32, 32, 2)
+    # position embeddings sized to the token count (2^3 patches)
+    pos = variables["params"]["position_embeddings"]
+    assert pos.shape == (1, 8, 64)
+
+
+def test_unetr_train_mode_runs():
+    model = UNETR(img_shape=(32, 32, 32), n_classes=2, embed_dim=64,
+                  patch_size=16, num_heads=4, num_layers=4,
+                  ext_layers=(1, 2, 3, 4))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x, train=False)
+    (logits, _), updates = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_zoo_registered():
+    from bcp_tpu.models import MODEL_REGISTRY
+    for name in ("unet", "VNet", "VNet_pancreas", "unet_3D",
+                 "unet_3D_dtc", "unetr"):
+        assert name in MODEL_REGISTRY
