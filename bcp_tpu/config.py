@@ -60,8 +60,19 @@ class Config:
     self_iterations: int = 15000
     eval_every: int = 200
 
+    # ---- debugging / observability (SURVEY.md §5: the reference has no
+    # tracing or sanitizers; these are the TPU-native equivalents)
+    debug_nans: bool = False            # jax debug_nans in the train step
+    profile_dir: Optional[str] = None   # jax.profiler trace output dir
+    profile_steps: Tuple[int, int] = (10, 20)  # [start, end) steps to trace
+
     # ---- BCP algorithm
-    mask_kind: str = "ratio"            # 'ratio' (2/3 per dim) | 'fixed'
+    # 'ratio' = single cuboid/rect of int(dim*ratio) per dim (context_mask
+    # / generate_mask); 'fixed' = mask_patch^N cube (pancreas);
+    # 'grid' = per-cell multi-box (random_mask, `ACDC_BCP_train.py:142`);
+    # 'slab' = full slab along one axis (concate/contact mask,
+    # `BCP_utils.py:48`, `ACDC_BCP_train.py:156`)
+    mask_kind: str = "ratio"
     mask_ratio: float = 2.0 / 3.0
     mask_patch: int = 64                # used when mask_kind == 'fixed'
     u_weight: float = 0.5

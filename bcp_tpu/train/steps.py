@@ -84,6 +84,18 @@ def _grouped(model):
 def _sample_mask(cfg: Config, key: jax.Array) -> jax.Array:
     if cfg.mask_kind == "fixed":
         return masks.cuboid_mask_fixed(key, cfg.patch_size, cfg.mask_patch)
+    if cfg.mask_kind == "grid":
+        # `random_mask` (`ACDC_BCP_train.py:142-154`, 27-cube 3D variant
+        # `BCP_utils.py:30-46`)
+        return masks.grid_mask(key, cfg.patch_size)
+    if cfg.mask_kind == "slab":
+        # `concate_mask` (z-slab 8/27, `BCP_utils.py:48-56`) in 3D,
+        # `contact_mask` (row-slab 4/9, `ACDC_BCP_train.py:156-164`) in 2D
+        if len(cfg.patch_size) == 3:
+            return masks.slab_mask(key, cfg.patch_size, axis=-1,
+                                   fraction=8.0 / 27.0)
+        return masks.slab_mask(key, cfg.patch_size, axis=0,
+                               fraction=4.0 / 9.0)
     return masks.cuboid_mask(key, cfg.patch_size, cfg.mask_ratio)
 
 

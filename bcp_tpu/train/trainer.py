@@ -155,6 +155,11 @@ class BCPTrainer:
         feeder = BCPBatchFeeder(cfg, stage, sharding=self.sharding)
         logger.info("%d iterations per epoch", feeder.steps_per_epoch)
 
+        if cfg.debug_nans:
+            # SURVEY.md §5 "race detection/sanitizers absent" -> the
+            # TPU-native equivalent: trap NaNs inside the jitted step.
+            jax.config.update("jax_debug_nans", True)
+
         base_key = jax.random.PRNGKey(cfg.seed + (0 if stage == "pre"
                                                   else 1))
         best_dice = 0.0
@@ -162,6 +167,8 @@ class BCPTrainer:
         t0 = time.time()
         start = int(state.step)
         for it in range(start + 1, max_iterations + 1):
+            if cfg.profile_dir and it == cfg.profile_steps[0] + start:
+                jax.profiler.start_trace(cfg.profile_dir)
             batch = next(feeder)
             key = jax.random.fold_in(base_key, it)
             state, metrics = step_fn(state, batch, key)
@@ -177,6 +184,10 @@ class BCPTrainer:
                 writer.scalar("Self/consistency", cw, it)
             logger.info("iteration %d : %s", it, " ".join(
                 f"{k}: {v:.4f}" for k, v in sorted(host_metrics.items())))
+            if cfg.profile_dir and it == cfg.profile_steps[1] + start:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s",
+                            cfg.profile_dir)
 
             if self.log_images and it % cfg.eval_every == 1:
                 try:

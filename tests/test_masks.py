@@ -88,3 +88,25 @@ def test_masks_are_jittable():
     m2 = f(jax.random.PRNGKey(1))
     assert m1.shape == (16, 16, 16)
     assert not np.array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_sample_mask_kinds():
+    from bcp_tpu.config import la_config, acdc_config
+    from bcp_tpu.train.steps import _sample_mask
+    key = jax.random.PRNGKey(0)
+    cfg3 = la_config().replace(patch_size=(27, 27, 27))
+    for kind, expected_zeros in [
+            ("ratio", 18 ** 3),
+            ("fixed", None),
+            ("grid", 27 * 6 ** 3),
+            ("slab", 27 * 27 * 8)]:
+        m = _sample_mask(cfg3.replace(mask_kind=kind, mask_patch=9), key)
+        assert m.shape == (27, 27, 27)
+        if kind == "fixed":
+            assert int((m == 0).sum()) == 9 ** 3
+        elif expected_zeros is not None:
+            assert int((m == 0).sum()) == expected_zeros
+    cfg2 = acdc_config().replace(patch_size=(36, 36), mask_kind="slab")
+    m = _sample_mask(cfg2, key)
+    # contact_mask: rows slab of 4/9 of axis 0
+    assert int((np.asarray(m) == 0).sum()) == 16 * 36
