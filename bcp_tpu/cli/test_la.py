@@ -54,7 +54,8 @@ def test_calculate_metric(args):
     total = np.zeros(4)
     for ith in range(len(ds)):
         image, label = ds.load(ith)
-        pred, _ = evaluator.infer(variables, image, rule=cfg.eval_rule)
+        pred, _ = evaluator.infer(variables, image, rule=cfg.eval_rule,
+                                  return_score=False)
         if args.nms:
             pred = host_largest_cc(pred)
         if pred.sum() == 0:

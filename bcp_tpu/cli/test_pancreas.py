@@ -48,7 +48,8 @@ def main(argv=None):
         image, label = ds.load(i)
         image, label = pancreas_test_transform(image, label,
                                                cfg.patch_size)
-        pred, _ = evaluator.infer(variables, image, rule="argmax")
+        pred, _ = evaluator.infer(variables, image, rule="argmax",
+                                  return_score=False)
         m = ((0.0, 0.0, 0.0, 0.0) if pred.sum() == 0
              else calculate_metric_percase(pred, label))
         if args.detail:

@@ -93,7 +93,7 @@ class Config:
     stride_z: int = 4
     eval_rule: str = "threshold"        # 'threshold' (LA, class-1 prob>0.5,
     # `test_3d_patch.py:137`) | 'argmax' (pancreas, `test_util.py:146`)
-    eval_batch: int = 8                 # sliding windows per device batch
+    eval_batch: int = 16                # sliding windows per device batch
 
     # ---- output
     snapshot_root: str = "./model/BCP"

@@ -132,7 +132,8 @@ class SlidingWindowEvaluator:
 
     # -- public API -----------------------------------------------------
     def infer(self, variables, image: np.ndarray,
-              rule: str = "threshold") -> Tuple[np.ndarray, np.ndarray]:
+              rule: str = "threshold", return_score: bool = True
+              ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Run one volume; returns (label_map, score_map[C,...]-first) with
         the reference's decision rules: 'threshold' = class-1 prob > 0.5
         (`test_3d_patch.py:137`), 'argmax' (`pancreas/test_util.py:146`).
@@ -180,11 +181,15 @@ class SlidingWindowEvaluator:
         else:
             label = (score[..., 1] > 0.5).astype(jnp.int32)
 
-        label = np.asarray(label)
-        score = np.asarray(score)
+        # fetch the label map as uint8 — the full f32 score map is ~10x
+        # the bytes and only the offline CLIs need it
+        label = np.asarray(label.astype(jnp.uint8)).astype(np.int32)
         # crop bucket padding, then the pad-to-patch padding
         sl = tuple(slice(o, o + s) for o, s in zip(off, orig_shape))
         label = label[tuple(slice(0, s) for s in grid_shape)][sl]
+        if not return_score:
+            return label, None
+        score = np.asarray(score)
         score = np.moveaxis(
             score[tuple(slice(0, s) for s in grid_shape) + (slice(None),)],
             -1, 0)[(slice(None),) + sl]
@@ -193,7 +198,8 @@ class SlidingWindowEvaluator:
     def evaluate_case(self, variables, image, label, nms: bool = False,
                       rule: str = "threshold"):
         from bcp_tpu.eval import metrics as M
-        pred, _ = self.infer(variables, image, rule=rule)
+        pred, _ = self.infer(variables, image, rule=rule,
+                             return_score=False)
         if nms:
             pred = host_largest_cc(pred)
         if pred.sum() == 0:
@@ -206,7 +212,8 @@ class SlidingWindowEvaluator:
         from bcp_tpu.eval import metrics as M
         total = 0.0
         for image, label in cases:
-            pred, _ = self.infer(variables, image, rule=rule)
+            pred, _ = self.infer(variables, image, rule=rule,
+                                 return_score=False)
             total += (M.dice_binary(pred, label)
                       if pred.sum() > 0 else 0.0)
         return total / max(len(cases), 1)

@@ -114,7 +114,8 @@ class BCPTrainer:
         total = 0.0
         for image, label in cases:
             pred, _ = self.evaluator.infer(variables, image,
-                                           rule=cfg.eval_rule)
+                                           rule=cfg.eval_rule,
+                                           return_score=False)
             from bcp_tpu.eval.metrics import dice_binary
             total += dice_binary(pred, label) if pred.sum() > 0 else 0.0
         return total / max(len(cases), 1)
