@@ -59,6 +59,10 @@ class Config:
     pre_iterations: int = 2000
     self_iterations: int = 15000
     eval_every: int = 200
+    # fetch+log step metrics every N steps. 1 = reference behaviour (logs
+    # every iteration); each fetch synchronises with the device, so >1
+    # lets consecutive steps pipeline (~10% faster on tunneled backends).
+    log_every: int = 1
 
     # ---- debugging / observability (SURVEY.md §5: the reference has no
     # tracing or sanitizers; these are the TPU-native equivalents)

@@ -173,18 +173,23 @@ class BCPTrainer:
             batch = next(feeder)
             key = jax.random.fold_in(base_key, it)
             state, metrics = step_fn(state, batch, key)
-            host_metrics = {k: float(v) for k, v in
-                            jax.device_get(metrics).items()}
-            for k, v in host_metrics.items():
-                writer.scalar(f"{stage}/{k}", v, it)
+            if it % cfg.log_every == 0:
+                host_metrics = {k: float(v) for k, v in
+                                jax.device_get(metrics).items()}
+                for k, v in host_metrics.items():
+                    writer.scalar(f"{stage}/{k}", v, it)
+            else:
+                host_metrics = None
             if stage == "self":
                 # computed + logged, never applied (reference parity —
                 # `LA_BCP_train.py:246,260`)
                 cw = cfg.consistency * float(
                     sigmoid_rampup(it // 150, cfg.consistency_rampup))
                 writer.scalar("Self/consistency", cw, it)
-            logger.info("iteration %d : %s", it, " ".join(
-                f"{k}: {v:.4f}" for k, v in sorted(host_metrics.items())))
+            if host_metrics is not None:
+                logger.info("iteration %d : %s", it, " ".join(
+                    f"{k}: {v:.4f}" for k, v in
+                    sorted(host_metrics.items())))
             if cfg.profile_dir and it == cfg.profile_steps[1] + start:
                 jax.profiler.stop_trace()
                 logger.info("profiler trace written to %s",

@@ -119,3 +119,17 @@ def test_feature_memory_and_contrastive_loss():
                                       n_classes, mem.memory)
     assert np.isfinite(float(loss))
     assert float(loss) > 0
+
+
+# ---------------- KDE demo plotting ----------------
+
+def test_kde_plot_smoke(tmp_path):
+    from bcp_tpu.cli.kde_demo import plot_kde
+    rng = np.random.default_rng(0)
+    per_class = {c: {"labeled": rng.normal(size=200).tolist(),
+                     "unlabeled": rng.normal(1.0, 1.0, size=200).tolist()}
+                 for c in range(1, 4)}
+    out = str(tmp_path / "kde.png")
+    plot_kde(per_class, out, n_classes=4)
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 0
