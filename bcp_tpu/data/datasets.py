@@ -34,16 +34,36 @@ def _read_h5(path: str) -> Tuple[np.ndarray, np.ndarray]:
         return f["image"][:], f["label"][:]
 
 
+class _VolumeCache:
+    """Decompressed-volume RAM cache. The reference re-reads + re-gunzips
+    the full h5 volume for every crop (`dataloaders/dataset.py:116-121`,
+    4 worker processes compensating); with the train step at ~0.3s the
+    host must not spend ~0.5s per sample in gzip. Whole LA/pancreas train
+    sets are a few GB decompressed — cache them."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self._store = {}
+
+    def get(self, path: str):
+        if not self.enabled:
+            return _read_h5(path)
+        if path not in self._store:
+            self._store[path] = _read_h5(path)
+        return self._store[path]
+
+
 class LAHeartDataset:
     """`LAHeart` (`dataloaders/dataset.py:91-126`)."""
 
     def __init__(self, base_dir: str, split: str = "train",
-                 num: Optional[int] = None):
+                 num: Optional[int] = None, cache: bool = True):
         self.base_dir = base_dir
         list_path = os.path.join(base_dir, f"{split}.list")
         self.cases = read_list(list_path)
         if num is not None:
             self.cases = self.cases[:num]
+        self._cache = _VolumeCache(cache)
 
     def __len__(self):
         return len(self.cases)
@@ -53,7 +73,7 @@ class LAHeartDataset:
                             self.cases[idx], "mri_norm2.h5")
 
     def load(self, idx: int):
-        return _read_h5(self.case_path(idx))
+        return self._cache.get(self.case_path(idx))
 
     def sample_train(self, idx: int, patch_size, rng):
         image, label = self.load(idx)
@@ -64,7 +84,7 @@ class ACDCDataset:
     """`BaseDataSets` (`dataloaders/dataset.py:15-50`)."""
 
     def __init__(self, base_dir: str, split: str = "train",
-                 num: Optional[int] = None):
+                 num: Optional[int] = None, cache: bool = True):
         self.base_dir = base_dir
         self.split = split
         list_name = {"train": "train_slices.list", "val": "val.list",
@@ -72,6 +92,7 @@ class ACDCDataset:
         self.cases = read_list(os.path.join(base_dir, list_name))
         if num is not None and split == "train":
             self.cases = self.cases[:num]
+        self._cache = _VolumeCache(cache)
 
     def __len__(self):
         return len(self.cases)
@@ -84,7 +105,7 @@ class ACDCDataset:
         return os.path.join(self.base_dir, "data", f"{case}.h5")
 
     def load(self, idx: int):
-        return _read_h5(self.case_path(idx))
+        return self._cache.get(self.case_path(idx))
 
     def sample_train(self, idx: int, patch_size, rng):
         image, label = self.load(idx)
@@ -101,7 +122,8 @@ class PancreasDataset:
     """
 
     def __init__(self, base_dir: str, split: str, lists_dir: Optional[str]
-                 = None, oversample: int = 1, reverse: bool = False):
+                 = None, oversample: int = 1, reverse: bool = False,
+                 cache: bool = True):
         self.base_dir = base_dir
         lists_dir = lists_dir or base_dir
         name = {"train_lab": "train_lab.txt",
@@ -111,6 +133,7 @@ class PancreasDataset:
         self.split = split
         self.oversample = oversample
         self.reverse = reverse
+        self._cache = _VolumeCache(cache)
 
     def __len__(self):
         return len(self.rel_paths) * self.oversample
@@ -123,7 +146,7 @@ class PancreasDataset:
         return os.path.join(self.base_dir, self.rel_paths[i])
 
     def load(self, idx: int):
-        return _read_h5(self.case_path(idx))
+        return self._cache.get(self.case_path(idx))
 
     def sample_train(self, idx: int, patch_size, rng):
         image, label = self.load(idx)
