@@ -113,6 +113,15 @@ def _bcast(mask: jax.Array, like: jax.Array) -> jax.Array:
     return jnp.broadcast_to(mask[None], like.shape)
 
 
+def _canonical_batch(batch):
+    """Device-side cast from the compact wire format (bf16/uint8; see
+    data.feed._stack): labels to int32 for one-hot/mix arithmetic."""
+    out = {}
+    for k, v in batch.items():
+        out[k] = v.astype(jnp.int32) if k.startswith("lab") else v
+    return out
+
+
 # --------------------------------------------------------------------------
 # pre-train
 
@@ -146,6 +155,7 @@ def make_pretrain_step(model, tx: optax.GradientTransformation,
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jax.Array],
              key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        batch = _canonical_batch(batch)
         mask_key, drop_key = jax.random.split(key)
         mask = _sample_mask(cfg, mask_key)
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
@@ -238,6 +248,7 @@ def make_selftrain_step(model, tx: optax.GradientTransformation,
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jax.Array],
              key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        batch = _canonical_batch(batch)
         mask_key, tkey, skey = jax.random.split(key, 3)
 
         # Teacher pseudo-labels for the two unlabeled sub-streams

@@ -214,6 +214,18 @@ class BCPTrainer:
                 writer.scalar("4_Var_dice/Dice", dice_sample, it)
                 writer.scalar("4_Var_dice/Best_dice", best_dice, it)
 
+        if not os.path.exists(best_path):
+            # A stage shorter than eval_every would otherwise leave no
+            # best checkpoint for the hand-off (the reference only saves
+            # at %200 boundaries and crashes in that case): validate and
+            # save at stage end.
+            dice_sample = self.validate(state)
+            best_dice = round(dice_sample, 4)
+            self.ckpt.save(best_path, state)
+            self.ckpt.save(last_path, state)
+            logger.info("end-of-stage save (dice %.4f) to %s", best_dice,
+                        best_path)
+
         dt = time.time() - t0
         done = max_iterations - start
         logger.info("stage %s done: %d steps in %.1fs (%.3f s/step), "

@@ -44,3 +44,16 @@ def test_resume_from_last(tiny_cfg):
     # resume: should be a no-op extension (start=4 == max) and not crash
     dice, _ = trainer.pretrain(resume=True)
     assert 0.0 <= dice <= 1.0
+
+
+def test_short_stage_still_saves_best(tiny_cfg, tmp_path):
+    """A stage shorter than eval_every must still leave a best checkpoint
+    for the hand-off (the reference crashes in this case)."""
+    cfg = tiny_cfg.replace(pre_iterations=1, self_iterations=1,
+                           eval_every=100,
+                           snapshot_root=str(tmp_path))
+    trainer = BCPTrainer(cfg)
+    pre_dice, pre_best = trainer.pretrain()
+    assert os.path.exists(pre_best)
+    self_dice, _ = trainer.selftrain()
+    assert 0.0 <= self_dice <= 1.0
