@@ -45,6 +45,11 @@ class Config:
     batch_size: int = 8
     labeled_bs: int = 4
     labeled_oversample: int = 1         # pancreas: x5 (20%) / x10 (10%)
+    # Keep the training volumes resident in HBM and run crop/rot/flip
+    # augmentation on device (LA/pancreas; ~2-3GB at bf16). Removes the
+    # per-step host->device batch upload entirely. Host feed remains the
+    # default and is required for multi-device sharding.
+    device_data_cache: bool = False
 
     # ---- optimisation
     optimizer: str = "sgd"              # 'sgd' | 'adam'

@@ -65,10 +65,18 @@ class BCPBatchFeeder:
         self.img_dtype = (ml_dtypes.bfloat16
                           if cfg.compute_dtype == "bfloat16"
                           else np.float32)
+        self._store = None
+        self._lab_store = None
+        self._unlab_store = None
+        if cfg.device_data_cache and sharding is not None:
+            raise ValueError("device_data_cache is a single-device "
+                             "optimisation; use the host feed with a mesh")
         if cfg.variant == "pancreas":
             self._init_pancreas()
         else:
             self._init_two_stream()
+        if cfg.device_data_cache:
+            self._init_device_store()
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -118,6 +126,62 @@ class BCPBatchFeeder:
                 step += 1
         self._index_stream = stream()
 
+    # -- device-resident volume store -----------------------------------
+    def _init_device_store(self):
+        import jax.numpy as jnp
+        from bcp_tpu.data.device_store import DeviceVolumeStore
+        cfg = self.cfg
+        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        if cfg.variant == "la":
+            self._store = DeviceVolumeStore.from_dataset(
+                self.dataset, range(len(self.dataset)), cfg.patch_size,
+                pad_extra=3, img_dtype=dtype)
+        elif cfg.variant == "pancreas":
+            n_lab = len(self.lab_a.rel_paths)
+            self._lab_store = DeviceVolumeStore.from_dataset(
+                self.lab_a, range(n_lab), cfg.patch_size, pad_extra=1,
+                img_dtype=dtype)
+            n_unlab = len(self.unlab_a.rel_paths)
+            self._unlab_store = DeviceVolumeStore.from_dataset(
+                self.unlab_a, range(n_unlab), cfg.patch_size, pad_extra=1,
+                img_dtype=dtype)
+        else:
+            raise ValueError("device_data_cache supports la/pancreas")
+
+    def _build_device(self):
+        cfg = self.cfg
+        lab_idx, unlab_idx = next(self._index_stream)
+        if cfg.variant == "la":
+            sub = cfg.labeled_sub_bs
+            img, lab = self._store.sample_batch(lab_idx, self.rng,
+                                                rotflip=True)
+            batch = {"img_a": img[:sub], "img_b": img[sub:],
+                     "lab_a": lab[:sub], "lab_b": lab[sub:]}
+            if self.stage == "self":
+                uimg, _ = self._store.sample_batch(unlab_idx, self.rng,
+                                                   rotflip=True)
+                usub = cfg.unlabeled_sub_bs
+                batch["uimg_a"], batch["uimg_b"] = uimg[:usub], uimg[usub:]
+            return batch
+        # pancreas: map oversampled/reversed stream indices to raw volumes
+        n = len(self.lab_a.rel_paths)
+        raw_a = [i % n for i in lab_idx]
+        raw_b = [n - (i % n) - 1 for i in lab_idx]
+        img_a, lab_a = self._lab_store.sample_batch(raw_a, self.rng,
+                                                    rotflip=False)
+        img_b, lab_b = self._lab_store.sample_batch(raw_b, self.rng,
+                                                    rotflip=False)
+        batch = {"img_a": img_a, "img_b": img_b,
+                 "lab_a": lab_a, "lab_b": lab_b}
+        if self.stage == "self":
+            nu = len(self.unlab_a.rel_paths)
+            u_a = [i % nu for i in unlab_idx]
+            u_b = [nu - (i % nu) - 1 for i in unlab_idx]
+            batch["uimg_a"] = self._unlab_store.center_batch(u_a)[0]
+            batch["uimg_b"] = self._unlab_store.center_batch(u_b)[0]
+        return batch
+
     # -- batch assembly -------------------------------------------------
     def _build(self) -> Dict[str, np.ndarray]:
         cfg = self.cfg
@@ -158,8 +222,12 @@ class BCPBatchFeeder:
     def _worker(self):
         try:
             while not self._stop.is_set():
-                host_batch = self._build()
-                device_batch = jax.device_put(host_batch, self.sharding)
+                if self.cfg.device_data_cache:
+                    device_batch = self._build_device()
+                else:
+                    host_batch = self._build()
+                    device_batch = jax.device_put(host_batch,
+                                                  self.sharding)
                 self._queue.put(device_batch)
         except Exception as e:  # surface in the consumer
             self._queue.put(e)

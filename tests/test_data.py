@@ -133,8 +133,8 @@ def test_acdc_feeder_shapes(acdc_root):
     batch = next(feeder)
     assert batch["img_a"].shape == (2, 32, 32, 1)
     assert batch["uimg_b"].shape == (2, 32, 32, 1)
-    assert batch["lab_a"].dtype == np.int32 or str(
-        batch["lab_a"].dtype) == "int32"
+    # compact wire format: labels ship as uint8 (cast on device)
+    assert str(batch["lab_a"].dtype) == "uint8"
     feeder.close()
 
 

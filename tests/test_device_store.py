@@ -1,0 +1,115 @@
+"""Device-resident volume store: crop/rot/flip equivalence with the host
+transforms, and the feeder integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bcp_tpu.config import la_config, pancreas_config
+from bcp_tpu.data import synthetic
+from bcp_tpu.data.device_store import DeviceVolumeStore
+from bcp_tpu.data.feed import BCPBatchFeeder
+
+
+def _volumes(n=3, shape=(30, 28, 20), seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = [rng.normal(size=shape).astype(np.float32) for _ in range(n)]
+    labs = [(rng.random(shape) > 0.7).astype(np.uint8) for _ in range(n)]
+    return imgs, labs
+
+
+def test_center_batch_matches_host_center_crop():
+    from bcp_tpu.data.transforms import center_crop
+    imgs, labs = _volumes()
+    patch = (16, 16, 16)
+    store = DeviceVolumeStore(imgs, labs, patch, pad_extra=1,
+                              img_dtype=jnp.float32)
+    got_img, got_lab = store.center_batch([0, 1, 2])
+    for i in range(3):
+        want_img, want_lab = center_crop(imgs[i], labs[i], patch,
+                                         pad_extra=1)
+        np.testing.assert_allclose(np.asarray(got_img[i, ..., 0]),
+                                   want_img, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_lab[i]), want_lab)
+
+
+def test_sample_batch_no_rotflip_is_a_crop():
+    imgs, labs = _volumes()
+    patch = (16, 16, 16)
+    store = DeviceVolumeStore(imgs, labs, patch, pad_extra=1,
+                              img_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    img, lab = store.sample_batch([1], rng, rotflip=False)
+    crop = np.asarray(img[0, ..., 0])
+    # must appear verbatim somewhere inside the source volume
+    src = imgs[1]
+    corner = crop[0, 0, 0]
+    found = False
+    for ox, oy, oz in zip(*np.where(np.isclose(src, corner))):
+        if (ox + 16 <= src.shape[0] and oy + 16 <= src.shape[1]
+                and oz + 16 <= src.shape[2]):
+            if np.allclose(src[ox:ox+16, oy:oy+16, oz:oz+16], crop):
+                found = True
+                break
+    assert found
+
+
+def test_sample_batch_rotflip_preserves_content():
+    imgs, labs = _volumes(shape=(20, 20, 16))
+    patch = (12, 12, 8)
+    store = DeviceVolumeStore(imgs, labs, patch, pad_extra=1,
+                              img_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    img, lab = store.sample_batch([0, 1], rng, rotflip=True)
+    assert img.shape == (2, 12, 12, 8, 1)
+    assert lab.shape == (2, 12, 12, 8)
+    # rot/flip are permutations: all values must come from the volume
+    vals = np.asarray(img[0, ..., 0]).ravel()
+    pool = set(np.round(imgs[0].ravel(), 5))
+    assert all(np.round(v, 5) in pool for v in vals[:50])
+
+
+def test_pad_if_small():
+    imgs, labs = _volumes(shape=(10, 10, 6))
+    store = DeviceVolumeStore(imgs, labs, (16, 16, 16), pad_extra=3,
+                              img_dtype=jnp.float32)
+    img, lab = store.center_batch([0])
+    assert img.shape == (1, 16, 16, 16, 1)
+
+
+def test_la_feeder_device_cache(tmp_path_factory):
+    root = synthetic.make_la_dataset(
+        str(tmp_path_factory.mktemp("la_dev")), n_train=6, n_test=2,
+        shape=(40, 40, 32))
+    cfg = la_config(labelnum=4).replace(
+        root_path=root, patch_size=(32, 32, 16), batch_size=6,
+        labeled_bs=4, max_samples=6, device_data_cache=True,
+        compute_dtype="float32")
+    feeder = BCPBatchFeeder(cfg, stage="self")
+    batch = next(feeder)
+    assert batch["img_a"].shape == (2, 32, 32, 16, 1)
+    assert batch["uimg_a"].shape == (1, 32, 32, 16, 1)
+    assert isinstance(batch["img_a"], jax.Array)
+    feeder.close()
+
+
+def test_pancreas_feeder_device_cache(tmp_path_factory):
+    root = synthetic.make_pancreas_dataset(
+        str(tmp_path_factory.mktemp("panc_dev")), shape=(40, 40, 40))
+    cfg = pancreas_config().replace(
+        root_path=root, patch_size=(24, 24, 24), mask_patch=8,
+        batch_size=8, labeled_bs=4, labeled_oversample=2,
+        device_data_cache=True, compute_dtype="float32")
+    feeder = BCPBatchFeeder(cfg, stage="self")
+    batch = next(feeder)
+    assert batch["img_a"].shape == (2, 24, 24, 24, 1)
+    assert batch["uimg_b"].shape == (2, 24, 24, 24, 1)
+    feeder.close()
+
+
+def test_device_cache_rejects_sharding():
+    cfg = la_config().replace(device_data_cache=True)
+    with pytest.raises(ValueError):
+        BCPBatchFeeder(cfg, stage="pre", sharding="dummy")
