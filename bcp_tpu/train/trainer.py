@@ -35,7 +35,8 @@ from bcp_tpu.ops.ramps import sigmoid_rampup
 from bcp_tpu.train.checkpoints import CheckpointIO, best_model_path
 from bcp_tpu.train.state import TrainState, build_optimizer, init_state
 from bcp_tpu.train.steps import make_pretrain_step, make_selftrain_step
-from bcp_tpu.utils.logging import MetricWriter, setup_logging
+from bcp_tpu.utils.logging import (MetricWriter, enable_compile_cache,
+                                   setup_logging)
 
 
 class BCPTrainer:
@@ -126,6 +127,7 @@ class BCPTrainer:
                    init_from: Optional[str] = None,
                    resume: bool = False) -> Tuple[float, str]:
         cfg = self.cfg
+        enable_compile_cache()
         out_dir = self.pre_dir if stage == "pre" else self.self_dir
         os.makedirs(out_dir, exist_ok=True)
         logger = setup_logging(out_dir)

@@ -1,3 +1,4 @@
-from bcp_tpu.utils.logging import setup_logging, MetricWriter
+from bcp_tpu.utils.logging import (setup_logging, MetricWriter,
+                                   enable_compile_cache)
 
-__all__ = ["setup_logging", "MetricWriter"]
+__all__ = ["setup_logging", "MetricWriter", "enable_compile_cache"]

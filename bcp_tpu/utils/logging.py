@@ -13,6 +13,22 @@ import os
 import sys
 from typing import Optional
 
+import jax
+
+
+def enable_compile_cache(path: str = "/tmp/bcp_tpu_jax_cache"):
+    """Persistent XLA compile cache: the fused self-train step takes
+    minutes to compile cold; cached compiles make process restarts (and
+    each trainer stage) near-instant. Idempotent, safe to call anywhere
+    before the first jit execution."""
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              5)
+    except Exception:
+        pass
+
 try:
     from tensorboardX import SummaryWriter
 except Exception:  # pragma: no cover
