@@ -10,7 +10,6 @@ plots per-class kernel-density estimates of the feature-norm distributions
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 from scipy import ndimage

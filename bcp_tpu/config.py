@@ -10,7 +10,7 @@ SURVEY.md §2's behavioural-spec table.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 

@@ -15,7 +15,7 @@ user's existing preprocessed data directories work unchanged:
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import h5py
 import numpy as np

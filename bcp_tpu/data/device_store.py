@@ -23,14 +23,11 @@ Pad-if-small is applied once at upload with the reference's
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from bcp_tpu.config import Config
 
 
 def _pad_like_reference(image, label, patch, pad_extra):

@@ -9,7 +9,7 @@ integer/index work); the TPU only ever sees fixed-shape crops.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 from scipy import ndimage

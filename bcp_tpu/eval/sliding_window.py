@@ -23,7 +23,6 @@ final crop discards.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax

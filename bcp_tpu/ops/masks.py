@@ -22,7 +22,7 @@ Polarity convention (identical to the reference, `BCP_utils.py:26`):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

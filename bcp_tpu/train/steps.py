@@ -25,12 +25,11 @@ is equivalent and mesh-friendly.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from bcp_tpu.config import Config
 from bcp_tpu.ops import cc, losses, masks

@@ -11,7 +11,8 @@ Performance notes vs the reference:
 - the train step is one donated-state XLA program (no per-step host work
   beyond feeding the next batch, which is prefetched on a thread);
 - validation uses the device-batched evaluators;
-- metrics are fetched once per step as a single device->host transfer.
+- metrics are fetched every ``log_every`` steps as a single device->host
+  transfer (1 = the reference's per-iteration logging).
 """
 
 from __future__ import annotations
