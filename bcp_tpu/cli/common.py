@@ -21,6 +21,11 @@ def snapshot_dir(cfg: Config, stage_name: str) -> str:
 def load_eval_variables(cfg: Config, ckpt_path: str):
     """Build the eval-mode model + restore weights/BN stats from a saved
     TrainState checkpoint (the `{model}_best_model` alias)."""
+    if not os.path.exists(ckpt_path):
+        raise SystemExit(
+            f"error: no checkpoint at {ckpt_path} — train the "
+            f"'{cfg.name}' pipeline first (or pass the matching "
+            f"--snapshot_root/--labelnum/--stage_name)")
     dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
         cfg.compute_dtype).type
     model = create_model(cfg.net_type, cfg.num_classes, mode="test",
