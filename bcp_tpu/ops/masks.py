@@ -86,15 +86,28 @@ def grid_mask(key: jax.Array, spatial: Sequence[int],
               shrink: int = 3) -> jax.Array:
     """Multi-box variant: one zero-box per cell of a shrink x shrink grid.
 
-    Matches `random_mask` (`ACDC_BCP_train.py:142-154`, and the 27-cube 3D
-    variant `BCP_utils.py:30-46`): each grid cell of size ``dim/shrink``
-    receives a zero-box of ``int(dim*2/(3*shrink))`` per dim at a uniform
-    offset within the cell.
+    Matches `random_mask` exactly in both arities:
+
+    - 2D (`ACDC_BCP_train.py:142-154`): box of ``int(dim*2/(3*shrink))``
+      per dim, offset uniform in ``[cell_start, cell_end - size)``.
+    - 3D (`BCP_utils.py:30-46`): box sizes derive from the nested ints
+      ``patch = int(dim*2/3)`` then ``int(patch/3) + 1`` in x/y but
+      ``int(patch/3)`` (no +1) in z, and the offset upper bound carries an
+      extra ``-1`` (``randint(lo, cell_end - size - 1)``, hi exclusive).
+      The reference hardcodes shrink=3 there; other shrinks generalise the
+      same formula.
     """
     spatial = tuple(int(s) for s in spatial)
     ndim = len(spatial)
     cell = [dim // shrink for dim in spatial]
-    sizes = [int(dim * 2 / (3 * shrink)) for dim in spatial]
+    if ndim == 3:
+        patch = [int(dim * 2 / 3) for dim in spatial]
+        sizes = [patch[0] // shrink + 1, patch[1] // shrink + 1,
+                 patch[2] // shrink]
+        hi_extra = 1
+    else:
+        sizes = [int(dim * 2 / (3 * shrink)) for dim in spatial]
+        hi_extra = 0
     mask = jnp.ones(spatial, jnp.int32)
     n_cells = shrink ** ndim
     keys = jax.random.split(key, n_cells * ndim)
@@ -108,7 +121,7 @@ def grid_mask(key: jax.Array, spatial: Sequence[int],
         starts = []
         for d in range(ndim):
             lo = idx[d] * cell[d]
-            hi = (idx[d] + 1) * cell[d] - sizes[d]
+            hi = (idx[d] + 1) * cell[d] - sizes[d] - hi_extra
             starts.append(jax.random.randint(keys[k], (), lo, hi))
             k += 1
         mask = mask * _box_mask(spatial, starts, sizes)

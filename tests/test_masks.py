@@ -53,6 +53,25 @@ def test_grid_mask_2d_boxes_within_cells():
     assert int((m == 0).sum()) == 9 * 54 * 54
 
 
+def test_grid_mask_3d_reference_sizes_and_bounds():
+    # `random_mask` (`BCP_utils.py:30-46`) at the real LA shape: box sizes
+    # int(int(112*2/3)/3)+1 = 25 in x/y, int(int(80*2/3)/3) = 17 in z, and
+    # offsets bounded by cell_end - size - 1 (randint hi exclusive).
+    shape = (112, 112, 80)
+    for seed in range(8):
+        m = np.asarray(masks.grid_mask(jax.random.PRNGKey(seed), shape))
+        assert int((m == 0).sum()) == 27 * 25 * 25 * 17
+        # every zero-box stays >= 2 voxels clear of its cell end
+        zeros = np.argwhere(m == 0)
+        for d, (dim, size) in enumerate(zip(shape, (25, 25, 17))):
+            cell = dim // 3
+            for c in range(3):
+                sel = zeros[(zeros[:, d] >= c * cell)
+                            & (zeros[:, d] < (c + 1) * cell), d]
+                if len(sel):
+                    assert sel.max() <= (c + 1) * cell - 2
+
+
 def test_slab_mask():
     m = np.asarray(masks.slab_mask(jax.random.PRNGKey(5), (112, 112, 81),
                                    axis=-1, fraction=8 / 27))
@@ -95,10 +114,11 @@ def test_sample_mask_kinds():
     from bcp_tpu.train.steps import _sample_mask
     key = jax.random.PRNGKey(0)
     cfg3 = la_config().replace(patch_size=(27, 27, 27))
+    # grid at 27^3: patch = int(27*2/3) = 18 -> sizes (7, 7, 6)
     for kind, expected_zeros in [
             ("ratio", 18 ** 3),
             ("fixed", None),
-            ("grid", 27 * 6 ** 3),
+            ("grid", 27 * 7 * 7 * 6),
             ("slab", 27 * 27 * 8)]:
         m = _sample_mask(cfg3.replace(mask_kind=kind, mask_patch=9), key)
         assert m.shape == (27, 27, 27)
