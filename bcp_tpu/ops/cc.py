@@ -72,18 +72,39 @@ def _neighbor_max(x: jax.Array, connectivity: int) -> jax.Array:
     return out
 
 
-@partial(jax.jit, static_argnames=("connectivity", "inner_steps"))
+@partial(jax.jit, static_argnames=("connectivity", "inner_steps",
+                                   "jump_steps"))
 def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
-                         inner_steps: int = 4) -> jax.Array:
+                         inner_steps: int = 4,
+                         jump_steps: int = 0) -> jax.Array:
     """Label connected components of a binary mask (one sample, no batch).
 
     Returns int32 labels, 0 = background; component labels are arbitrary
-    distinct positive ints. ``inner_steps`` propagation sweeps run between
-    fixpoint checks to amortise the ``while_loop`` condition.
+    distinct positive ints.
+
+    Each ``while_loop`` round runs ``inner_steps`` neighbour-max sweeps
+    (hooking: labels flow one voxel along foreground paths) optionally
+    followed by ``jump_steps`` pointer-jumping gathers (shortcutting:
+    since every label is ``1 + flat index`` of a voxel in the same
+    component, ``lab <- lab.flat[lab - 1]`` chases the chain toward the
+    component maximum, doubling chain reach per gather — convergence in
+    O(log diameter) rounds instead of O(diameter)).
+
+    ``jump_steps`` defaults to 0 because large random gathers lower poorly
+    on TPU (measured 143 ms vs 26 ms for the pure sweeps on a 112^3 LA
+    mask on v5e); on CPU hosts the jumps are a ~4x win (601 ms vs 2101 ms
+    on the same mask), so CPU callers may pass ``jump_steps=2``.
+
+    Exactness (either mode): the neighbour max only moves labels between
+    foreground neighbours, and a gathered label ``lab.flat[p]`` belongs to
+    a voxel (``p``) already proven connected — so labels never escape
+    their component, grow monotonically, and the fixpoint is the
+    per-component maximum seed.
     """
     if connectivity is None:
         connectivity = mask.ndim
     fg = mask.astype(jnp.int32) > 0
+    fg_flat = fg.ravel()
     seeds = (jnp.arange(1, mask.size + 1, dtype=jnp.int32)
              .reshape(mask.shape))
     labels = jnp.where(fg, seeds, 0)
@@ -91,7 +112,11 @@ def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
     def propagate(lab):
         for _ in range(inner_steps):
             lab = jnp.where(fg, _neighbor_max(lab, connectivity), 0)
-        return lab
+        flat = lab.ravel()
+        for _ in range(jump_steps):
+            parent = jnp.maximum(flat - 1, 0)
+            flat = jnp.where(fg_flat, flat.take(parent), 0)
+        return flat.reshape(lab.shape)
 
     def cond(state):
         lab, prev_changed = state
