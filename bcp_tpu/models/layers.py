@@ -43,6 +43,103 @@ def conv(features: int, kernel: Sequence[int], strides=None,
                    kernel_init=torch_kernel_init, name=name)
 
 
+_CONV3D_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _direct_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(x, w, (1, 1, 1), "SAME",
+                                        dimension_numbers=_CONV3D_DN)
+
+
+def _pack_weight(w: jax.Array, z_tile: int) -> jax.Array:
+    """(3,3,kz,Ci,Co) -> block-Toeplitz (3,3,z_tile+kz-1,Ci,z_tile*Co)."""
+    kz, ci, co = w.shape[2], w.shape[3], w.shape[4]
+    out = jnp.zeros((w.shape[0], w.shape[1], z_tile + kz - 1, ci,
+                     z_tile, co), w.dtype)
+    for zo in range(z_tile):
+        out = out.at[:, :, zo:zo + kz, :, zo, :].add(w)
+    return out.reshape(w.shape[0], w.shape[1], z_tile + kz - 1, ci,
+                       z_tile * co)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _zpacked_conv3d(x: jax.Array, w: jax.Array, z_tile: int) -> jax.Array:
+    """Forward lowered as the z-tiled block-Toeplitz conv; backward is the
+    direct conv's VJP (term-identical math — the packed kernel's extra
+    entries are structural zeros). The split matters twice: the packed
+    backward measured no faster on v5e, and differentiating through the
+    stride-``z_tile`` conv + pack scatter blew up the XLA-TPU compile of
+    the fused train step (>16 min vs ~3)."""
+    wp = _pack_weight(w, z_tile)
+    y = jax.lax.conv_general_dilated(
+        x, wp, (1, 1, z_tile), [(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=_CONV3D_DN)
+    b, xx, yy, zt, _ = y.shape
+    return y.reshape(b, xx, yy, zt * z_tile, w.shape[-1])
+
+
+def _zpacked_fwd(x, w, z_tile):
+    return _zpacked_conv3d(x, w, z_tile), (x, w)
+
+
+def _zpacked_bwd(z_tile, res, dy):
+    x, w = res
+    _, vjp = jax.vjp(_direct_conv3d, x, w)
+    return vjp(dy)
+
+
+_zpacked_conv3d.defvjp(_zpacked_fwd, _zpacked_bwd)
+
+
+class ZPackedConv3D(nn.Module):
+    """3^3 stride-1 SAME conv computed as a z-tiled block-Toeplitz conv.
+
+    Low-channel 3D convs starve the MXU: a 16-feature conv leaves 112 of
+    the 128 output lanes padded (measured 4% MFU at the V-Net level-1
+    shape on v5e). Packing ``z_tile`` consecutive z-outputs into the
+    feature axis — kernel ``(3, 3, z_tile+2, Cin, z_tile*Cout)`` with the
+    original weights scattered block-Toeplitz along (z_window, z_out), z
+    stride ``z_tile`` — fills the lanes (z_tile*Cout = 128) and cuts the
+    padded-K cycles ~2.7x; measured 18.6 -> 12.0 ms forward for the
+    level-1 conv at LA shapes (batch 8). Gradients flow through the
+    direct conv's VJP (see ``_zpacked_conv3d``).
+
+    The sums are term-identical to the direct conv (the extra kernel
+    entries are structural zeros), so results match the direct lowering up
+    to bf16 reassociation. Parameters are stored in the standard
+    ``nn.Conv`` layout — kernel ``(3,3,3,Cin,Cout)``, bias ``(Cout,)`` —
+    so checkpoints are interchangeable with the direct path; falls back to
+    the direct conv when the z extent does not tile.
+    """
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, 3, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        w = kernel.astype(dtype)
+        z = x.shape[3]
+        # lanes fill at z_tile*Cout = 128; larger tiles pay more padded K.
+        # >=64 features measured a wash on v5e -> direct lowering.
+        z_tile = 128 // self.features if self.features <= 32 else 1
+        while z_tile > 1 and z % z_tile != 0:
+            z_tile //= 2
+        if z_tile <= 1 or z < z_tile + 2:
+            y = _direct_conv3d(x, w)
+        else:
+            y = _zpacked_conv3d(x, w, z_tile)
+        return y + bias.astype(dtype)
+
+
 def conv_transpose(features: int, kernel: Sequence[int], strides,
                    name=None, dtype=None) -> nn.ConvTranspose:
     return nn.ConvTranspose(features, kernel_size=tuple(kernel),

@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from bcp_tpu.models.layers import (
     Norm,
+    ZPackedConv3D,
     conv,
     conv_transpose,
     spatial_broadcast_dims,
@@ -47,8 +48,10 @@ class ConvStage(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(self.n_stages):
-            x = conv(self.features, (3, 3, 3), name=f"conv{i}",
-                     dtype=self.dtype)(x)
+            # z-packed lowering for the MXU-starved low-channel stages
+            # (identical params + math; see layers.ZPackedConv3D)
+            x = ZPackedConv3D(self.features, name=f"conv{i}",
+                              dtype=self.dtype)(x)
             x = Norm(self.normalization, dtype=self.dtype,
                      groups=self.groups, name=f"norm{i}")(x, train)
             x = nn.relu(x)
@@ -68,8 +71,8 @@ class ResidualConvStage(nn.Module):
     def __call__(self, x, train: bool):
         residual = x
         for i in range(self.n_stages):
-            x = conv(self.features, (3, 3, 3), name=f"conv{i}",
-                     dtype=self.dtype)(x)
+            x = ZPackedConv3D(self.features, name=f"conv{i}",
+                              dtype=self.dtype)(x)
             x = Norm(self.normalization, dtype=self.dtype,
                      groups=self.groups, name=f"norm{i}")(x, train)
             if i != self.n_stages - 1:
