@@ -15,6 +15,7 @@ import numpy as np
 from bcp_tpu.cli.common import load_eval_variables, snapshot_dir
 from bcp_tpu.config import acdc_config
 from bcp_tpu.data.datasets import ACDCDataset
+from bcp_tpu.data.preprocess import write_nifti
 from bcp_tpu.eval.slice2d import Slice2DEvaluator
 from bcp_tpu.train.checkpoints import best_model_path
 
@@ -28,6 +29,9 @@ def build_parser():
     p.add_argument("--labelnum", type=int, default=3)
     p.add_argument("--stage_name", type=str, default="self_train")
     p.add_argument("--snapshot_root", type=str, default="./model/BCP")
+    # per-case float32 NIfTI dumps (spacing (1,1,10)) — the sitk writes of
+    # `test_ACDC.py:70-78` (shipped commented-out there; live here)
+    p.add_argument("--save_result", type=int, default=0)
     return p
 
 
@@ -42,10 +46,20 @@ def inference(args):
 
     evaluator = Slice2DEvaluator(model, cfg.patch_size, cfg.num_classes)
     ds = ACDCDataset(cfg.root_path, "test")
+    pred_dir = os.path.join(os.path.dirname(snap),
+                            f"{args.model}_predictions")
+    os.makedirs(pred_dir, exist_ok=True)
     totals = np.zeros((cfg.num_classes - 1, 4))
     for i in range(len(ds)):
         image, label = ds.load(i)
-        per_class, _ = evaluator.test_volume(variables, image, label)
+        per_class, pred = evaluator.test_volume(variables, image, label)
+        if args.save_result:
+            case = ds.cases[i]
+            for tag, vol in (("pred", pred), ("img", image),
+                             ("gt", label)):
+                write_nifti(os.path.join(pred_dir, f"{case}_{tag}.nii.gz"),
+                            np.asarray(vol).astype(np.float32),
+                            spacing=(1.0, 1.0, 10.0))
         totals += np.asarray(per_class)
     avg = totals / len(ds)
     return avg, snap

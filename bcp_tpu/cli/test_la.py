@@ -15,6 +15,7 @@ import numpy as np
 from bcp_tpu.cli.common import load_eval_variables, snapshot_dir
 from bcp_tpu.config import la_config
 from bcp_tpu.data.datasets import LAHeartDataset
+from bcp_tpu.data.preprocess import write_nifti
 from bcp_tpu.eval.metrics import calculate_metric_percase, host_largest_cc
 from bcp_tpu.eval.sliding_window import SlidingWindowEvaluator
 from bcp_tpu.train.checkpoints import best_model_path
@@ -27,12 +28,21 @@ def build_parser():
     p.add_argument("--model", type=str, default="VNet")
     p.add_argument("--detail", type=int, default=1)
     p.add_argument("--nms", type=int, default=1)
+    # `test_all_case(save_result=..)` (`utils/test_3d_patch.py:67-72`):
+    # per-case float32 NIfTI dumps under <model>_predictions/
+    p.add_argument("--save_result", type=int, default=0)
     p.add_argument("--labelnum", type=int, default=4)
     p.add_argument("--stage_name", type=str, default="self_train")
     p.add_argument("--snapshot_root", type=str, default="./model/BCP")
     p.add_argument("--stride_xy", type=int, default=18)
     p.add_argument("--stride_z", type=int, default=4)
     p.add_argument("--eval_batch", type=int, default=8)
+    # the reference hardcodes (112,112,80) (`test_LA.py:15`); exposed for
+    # non-standard volumes / smoke runs
+    p.add_argument("--patch_size", type=int, nargs=3,
+                   default=[112, 112, 80])
+    # first-stage width of the trained checkpoint (reference: 16)
+    p.add_argument("--n_filters", type=int, default=None)
     return p
 
 
@@ -40,7 +50,8 @@ def test_calculate_metric(args):
     cfg = la_config(labelnum=args.labelnum).replace(
         root_path=args.root_path, exp=args.exp, net_type=args.model,
         snapshot_root=args.snapshot_root, stride_xy=args.stride_xy,
-        stride_z=args.stride_z, eval_batch=args.eval_batch)
+        stride_z=args.stride_z, eval_batch=args.eval_batch,
+        patch_size=tuple(args.patch_size), n_filters=args.n_filters)
     snap = snapshot_dir(cfg, args.stage_name)
     ckpt = best_model_path(snap, cfg.net_type)
     model, variables = load_eval_variables(cfg, ckpt)
@@ -51,6 +62,8 @@ def test_calculate_metric(args):
         cfg.stride_z, batch=cfg.eval_batch)
     ds = LAHeartDataset(cfg.root_path, "test")
 
+    out_dir = snapshot_dir(cfg, f"{cfg.net_type}_predictions")
+    os.makedirs(out_dir, exist_ok=True)
     total = np.zeros(4)
     for ith in range(len(ds)):
         image, label = ds.load(ith)
@@ -64,11 +77,16 @@ def test_calculate_metric(args):
             m = calculate_metric_percase(pred, label)
         if args.detail:
             print("%02d,\t%.5f, %.5f, %.5f, %.5f" % (ith, *m))
+        if args.save_result:
+            # `%02d_{pred,img,gt}.nii.gz`, float32, identity affine —
+            # `utils/test_3d_patch.py:67-72`
+            for tag, vol in (("pred", pred), ("img", image), ("gt", label)):
+                write_nifti(os.path.join(out_dir, "%02d_%s.nii.gz"
+                                         % (ith, tag)),
+                            np.asarray(vol).astype(np.float32))
         total += np.asarray(m)
     avg = total / len(ds)
     print(f"average metric is {avg}")
-    out_dir = snapshot_dir(cfg, f"{cfg.net_type}_predictions")
-    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "..", "performance.txt"), "w") as f:
         f.write(f"average metric is {avg} \n")
     return avg

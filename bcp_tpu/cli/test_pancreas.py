@@ -6,12 +6,14 @@ argmax labelling, (dice, jaccard, hd95, asd) means."""
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
 from bcp_tpu.cli.common import load_eval_variables, snapshot_dir
 from bcp_tpu.config import pancreas_config
 from bcp_tpu.data.datasets import PancreasDataset
+from bcp_tpu.data.preprocess import write_nifti
 from bcp_tpu.data.transforms import pancreas_test_transform
 from bcp_tpu.eval.metrics import calculate_metric_percase
 from bcp_tpu.eval.sliding_window import SlidingWindowEvaluator
@@ -27,6 +29,9 @@ def build_parser():
     p.add_argument("--stride_xy", type=int, default=16)
     p.add_argument("--stride_z", type=int, default=4)
     p.add_argument("--detail", type=int, default=1)
+    # per-case float32 NIfTI dumps — `test_util.test_all_case(save_result)`
+    # (`pancreas/test_util.py:115-121`)
+    p.add_argument("--save_result", type=int, default=0)
     return p
 
 
@@ -43,6 +48,9 @@ def main(argv=None):
         model, cfg.patch_size, cfg.num_classes, cfg.stride_xy,
         cfg.stride_z, batch=cfg.eval_batch)
     ds = PancreasDataset(cfg.root_path, "test")
+    pred_dir = os.path.join(snapshot_dir(cfg, args.stage_name),
+                            "predictions")
+    os.makedirs(pred_dir, exist_ok=True)
     total = np.zeros(4)
     for i in range(len(ds)):
         image, label = ds.load(i)
@@ -54,6 +62,11 @@ def main(argv=None):
              else calculate_metric_percase(pred, label))
         if args.detail:
             print("%02d,\t%.5f, %.5f, %.5f, %.5f" % (i, *m))
+        if args.save_result:
+            for tag, vol in (("pred", pred), ("img", image), ("gt", label)):
+                write_nifti(os.path.join(pred_dir, "%02d_%s.nii.gz"
+                                         % (i, tag)),
+                            np.asarray(vol).astype(np.float32))
         total += np.asarray(m)
     avg = total / len(ds)
     print(f"average metric is {avg}")

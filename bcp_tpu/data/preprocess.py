@@ -112,6 +112,50 @@ def read_nifti(path: str) -> np.ndarray:
     return np.transpose(vol, axes=range(vol.ndim)[::-1])
 
 
+_NIFTI_CODES = {np.dtype(v).name: k for k, v in _NIFTI_DTYPES.items()}
+
+
+def write_nifti(path: str, array: np.ndarray,
+                spacing: Tuple[float, ...] = (1.0, 1.0, 1.0)) -> None:
+    """Minimal NIfTI-1 writer (single-file .nii / .nii.gz), the inverse of
+    ``read_nifti``: ``read_nifti(write_nifti(p, a)) == a``.
+
+    Used by the eval CLIs' ``--save_result`` prediction dumps — the
+    reference writes float32 volumes with an identity affine via nibabel
+    (`utils/test_3d_patch.py:67-72`) or SimpleITK with per-axis spacing
+    (`test_ACDC.py:70-75`). Like those, the (z, y, x) array convention is
+    stored as an (x, y, z) fortran-order file.
+    """
+    array = np.asarray(array)
+    if array.dtype.name not in _NIFTI_CODES:
+        array = array.astype(np.float32)
+    code = _NIFTI_CODES[array.dtype.name]
+    ndim = array.ndim
+    dim = [ndim] + list(array.shape[::-1]) + [1] * (7 - ndim)
+    pixdim = ([1.0] + list(spacing)[:ndim]
+              + [1.0] * (7 - min(ndim, len(spacing))))[:8]
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)                    # sizeof_hdr
+    struct.pack_into("<8h", hdr, 40, *dim)                 # dim
+    struct.pack_into("<h", hdr, 70, code)                  # datatype
+    struct.pack_into("<h", hdr, 72, array.dtype.itemsize * 8)  # bitpix
+    struct.pack_into(f"<{len(pixdim)}f", hdr, 76, *pixdim)  # pixdim
+    struct.pack_into("<f", hdr, 108, 352.0)                # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)                  # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)                  # scl_inter
+    hdr[123] = 2                                           # units: mm
+    struct.pack_into("<h", hdr, 254, 1)                    # sform_code
+    for row, sp in enumerate(pixdim[1:4]):                 # srow diag
+        struct.pack_into("<4f", hdr, 280 + 16 * row,
+                         *(sp if i == row else 0.0 for i in range(3)), 0.0)
+    hdr[344:348] = b"n+1\x00"                              # magic
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00" * 4)                               # no extensions
+        f.write(array.tobytes(order="C"))
+
+
 # --------------------------------------------------------------------------
 # converters
 

@@ -70,6 +70,20 @@ def test_nifti_roundtrip(tmp_path):
     np.testing.assert_allclose(got, arr.transpose(2, 1, 0), rtol=1e-6)
 
 
+def test_library_write_nifti_roundtrip(tmp_path):
+    """The package's own writer (used by the eval CLIs' --save_result)
+    must invert the package reader exactly."""
+    arr = np.random.default_rng(2).normal(size=(5, 6, 7)).astype(np.float32)
+    p = str(tmp_path / "y.nii.gz")
+    preprocess.write_nifti(p, arr, spacing=(1.0, 1.0, 10.0))
+    np.testing.assert_allclose(preprocess.read_nifti(p), arr, rtol=1e-6)
+    # non-float input follows the reference's .astype(np.float32) dumps
+    lab = np.random.default_rng(3).integers(0, 2, size=(4, 4, 3))
+    p2 = str(tmp_path / "lab.nii")
+    preprocess.write_nifti(p2, lab.astype(np.float32))
+    np.testing.assert_array_equal(preprocess.read_nifti(p2), lab)
+
+
 def test_convert_la(tmp_path):
     root = str(tmp_path)
     case_dir = os.path.join(root, "2018LA_Seg_Training Set", "case0")
