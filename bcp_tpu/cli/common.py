@@ -28,12 +28,13 @@ def load_eval_variables(cfg: Config, ckpt_path: str):
             f"--snapshot_root/--labelnum/--stage_name)")
     dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
         cfg.compute_dtype).type
+    extra = {"n_filters": cfg.n_filters} if cfg.n_filters else {}
     model = create_model(cfg.net_type, cfg.num_classes, mode="test",
-                         compute_dtype=dtype)
+                         compute_dtype=dtype, **extra)
     x = jnp.zeros((1, *cfg.patch_size, cfg.in_channels), jnp.float32)
     init_vars = create_model(
         cfg.net_type, cfg.num_classes, mode="train",
-        compute_dtype=dtype).init(
+        compute_dtype=dtype, **extra).init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x, train=False)
     template = {"params": init_vars["params"],

@@ -31,6 +31,8 @@ def build_parser():
     p.add_argument("--stage", type=str, default="both",
                    choices=["both", "pre", "self"])
     p.add_argument("--resume", action="store_true")
+    # data-parallel device mesh: 1 = single chip, -1 = every visible chip
+    p.add_argument("--num_devices", type=int, default=1)
     return p
 
 
@@ -46,7 +48,8 @@ def main(argv=None):
         consistency=args.consistency,
         consistency_rampup=args.consistency_rampup,
         snapshot_root=args.snapshot_root,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype,
+        num_devices=args.num_devices)
     trainer = BCPTrainer(cfg)
     if args.stage in ("both", "pre"):
         trainer.pretrain(resume=args.resume)

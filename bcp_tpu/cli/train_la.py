@@ -31,6 +31,11 @@ def build_parser():
     p.add_argument("--stage", type=str, default="both",
                    choices=["both", "pre", "self"])
     p.add_argument("--resume", action="store_true")
+    # data-parallel device mesh: 1 = single chip, -1 = every visible chip
+    p.add_argument("--num_devices", type=int, default=1)
+    # HBM-resident dataset + on-device augmentation (single-chip only;
+    # measured 317 vs 515 ms/iter wall-clock on v5e at LA shapes)
+    p.add_argument("--device_data_cache", type=int, default=1)
     return p
 
 
@@ -46,7 +51,10 @@ def main(argv=None):
         consistency_rampup=args.consistency_rampup,
         u_weight=args.u_weight, mask_ratio=args.mask_ratio,
         snapshot_root=args.snapshot_root,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype,
+        num_devices=args.num_devices,
+        device_data_cache=bool(args.device_data_cache)
+        and args.num_devices == 1)
     trainer = BCPTrainer(cfg)
     print("Starting BCP training.")
     if args.stage in ("both", "pre"):

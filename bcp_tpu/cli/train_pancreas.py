@@ -26,6 +26,10 @@ def build_parser():
     p.add_argument("--stage", type=str, default="both",
                    choices=["both", "pre", "self"])
     p.add_argument("--resume", action="store_true")
+    # data-parallel device mesh: 1 = single chip, -1 = every visible chip
+    # (the reference's nn.DataParallel over 2 GPUs,
+    # `pancreas/dataloaders.py:12-19`)
+    p.add_argument("--num_devices", type=int, default=1)
     return p
 
 
@@ -35,14 +39,15 @@ def main(argv=None):
         root_path=args.data_root, base_lr=args.lr, seed=args.seed,
         batch_size=4 * args.batch_size, labeled_bs=2 * args.batch_size,
         snapshot_root=args.snapshot_root,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype,
+        num_devices=args.num_devices)
     # epoch -> iteration conversion happens against the actual list sizes
     trainer = BCPTrainer(cfg)
     from bcp_tpu.data.feed import BCPBatchFeeder
-    pre_feeder = BCPBatchFeeder(cfg, "pre")
+    pre_feeder = BCPBatchFeeder(cfg, "pre", data_scale=trainer.data_scale)
     pre_iters = args.pretraining_epochs * pre_feeder.steps_per_epoch
     pre_feeder.close()
-    self_feeder = BCPBatchFeeder(cfg, "self")
+    self_feeder = BCPBatchFeeder(cfg, "self", data_scale=trainer.data_scale)
     self_iters = args.self_training_epochs * self_feeder.steps_per_epoch
     self_feeder.close()
     trainer.cfg = cfg.replace(pre_iterations=pre_iters,

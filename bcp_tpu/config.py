@@ -27,6 +27,9 @@ class Config:
     num_classes: int = 2
     in_channels: int = 1
     dims: int = 3
+    # width of the first conv stage (reference V-Net: 16). None = model
+    # default; small values make cheap CI fixtures.
+    n_filters: Optional[int] = None
     # Mixed precision: bf16 convs/norms on the MXU, float32 params,
     # losses and logits. 'float32' for bitwise-conservative runs.
     compute_dtype: str = "bfloat16"
@@ -50,6 +53,12 @@ class Config:
     # per-step host->device batch upload entirely. Host feed remains the
     # default and is required for multi-device sharding.
     device_data_cache: bool = False
+
+    # ---- parallelism (SURVEY.md C28/C29): data-parallel 1-D device mesh.
+    # The per-device batch stays the reference's `batch_size`; the global
+    # batch and the labeled/unlabeled stream widths scale by num_devices
+    # (parallel/mesh.py). 1 = single device; -1 = every visible device.
+    num_devices: int = 1
 
     # ---- optimisation
     optimizer: str = "sgd"              # 'sgd' | 'adam'

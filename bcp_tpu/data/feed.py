@@ -56,10 +56,14 @@ class BCPBatchFeeder:
     """
 
     def __init__(self, cfg: Config, stage: str, seed: Optional[int] = None,
-                 sharding=None, prefetch: int = 2):
+                 sharding=None, prefetch: int = 2, data_scale: int = 1):
+        """``data_scale`` widens every stream by the data-parallel factor
+        (global batch = reference batch x mesh size; parallel/mesh.py) —
+        epoch pacing shrinks accordingly."""
         self.cfg = cfg
         self.stage = stage
         self.sharding = sharding
+        self.scale = max(int(data_scale), 1)
         self.seed = cfg.seed if seed is None else seed
         self.rng = np.random.default_rng(self.seed)
         self.img_dtype = (ml_dtypes.bfloat16
@@ -68,7 +72,8 @@ class BCPBatchFeeder:
         self._store = None
         self._lab_store = None
         self._unlab_store = None
-        if cfg.device_data_cache and sharding is not None:
+        if cfg.device_data_cache and (sharding is not None
+                                      or self.scale > 1):
             raise ValueError("device_data_cache is a single-device "
                              "optimisation; use the host feed with a mesh")
         if cfg.variant == "pancreas":
@@ -90,10 +95,11 @@ class BCPBatchFeeder:
         n_lab = labeled_count(cfg, total)
         labeled = list(range(n_lab))
         unlabeled = list(range(n_lab, total))
-        self.steps_per_epoch = n_lab // cfg.labeled_bs
+        self.steps_per_epoch = max(n_lab // (cfg.labeled_bs * self.scale),
+                                   1)
         self._index_stream = two_stream_batches(
-            labeled, unlabeled, cfg.batch_size, cfg.unlabeled_bs,
-            seed=self.seed)
+            labeled, unlabeled, cfg.batch_size * self.scale,
+            cfg.unlabeled_bs * self.scale, seed=self.seed)
 
     def _init_pancreas(self):
         cfg = self.cfg
@@ -105,25 +111,29 @@ class BCPBatchFeeder:
         self.unlab_a = PancreasDataset(cfg.root_path, "train_unlab")
         self.unlab_b = PancreasDataset(cfg.root_path, "train_unlab",
                                        reverse=True)
-        per = cfg.labeled_sub_bs
+        per = cfg.labeled_sub_bs * self.scale
+        un = cfg.unlabeled_sub_bs * self.scale
         n_lab_batches = len(self.lab_a) // per
-        n_unlab_batches = len(self.unlab_a) // cfg.unlabeled_sub_bs
+        n_unlab_batches = len(self.unlab_a) // un
         if self.stage == "pre":
-            self.steps_per_epoch = n_lab_batches
+            self.steps_per_epoch = max(n_lab_batches, 1)
         else:
-            self.steps_per_epoch = min(n_lab_batches, n_unlab_batches)
+            self.steps_per_epoch = max(min(n_lab_batches, n_unlab_batches),
+                                       1)
+        n_raw_lab = len(self.lab_a)
+        n_raw_unlab = len(self.unlab_a)
 
         def stream():
             # sequential, shuffle=False, drop_last=True
-            # (`pancreas/dataloaders.py:185-194`)
-            step = 0
+            # (`pancreas/dataloaders.py:185-194`); modular wrap keeps the
+            # scaled (mesh-widened) streams in range on tiny datasets
             while True:
                 for i in range(self.steps_per_epoch):
-                    lab_idx = list(range(i * per, (i + 1) * per))
-                    un = cfg.unlabeled_sub_bs
-                    unlab_idx = list(range(i * un, (i + 1) * un))
+                    lab_idx = [j % n_raw_lab
+                               for j in range(i * per, (i + 1) * per)]
+                    unlab_idx = [j % n_raw_unlab
+                                 for j in range(i * un, (i + 1) * un)]
                     yield lab_idx, unlab_idx
-                step += 1
         self._index_stream = stream()
 
     # -- device-resident volume store -----------------------------------
@@ -192,7 +202,7 @@ class BCPBatchFeeder:
             imgs_b, labs_b = zip(*[self.lab_b.sample_train(
                 i, cfg.patch_size, self.rng) for i in lab_idx])
         else:
-            sub = cfg.labeled_sub_bs
+            sub = cfg.labeled_sub_bs * self.scale
             samples = [self.dataset.sample_train(i, cfg.patch_size, self.rng)
                        for i in lab_idx]
             imgs_a, labs_a = zip(*samples[:sub])
@@ -208,7 +218,7 @@ class BCPBatchFeeder:
                 uim_b, _ = zip(*[self.unlab_b.sample_train(
                     i, cfg.patch_size, self.rng) for i in unlab_idx])
             else:
-                usub = cfg.unlabeled_sub_bs
+                usub = cfg.unlabeled_sub_bs * self.scale
                 usamples = [self.dataset.sample_train(
                     i, cfg.patch_size, self.rng) for i in unlab_idx]
                 uim_a = [s[0] for s in usamples[:usub]]

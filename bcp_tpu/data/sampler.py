@@ -20,6 +20,13 @@ import numpy as np
 
 
 class TwoStreamBatchSampler:
+    """``primary_batch_size`` may exceed ``len(primary_indices)`` when a
+    data-parallel mesh scales the global batch (Config.num_devices > 1 on
+    e.g. LA's 8 labeled volumes): the primary stream then refills from
+    fresh permutations mid-batch, exactly like the secondary stream — for
+    the unscaled case the drawn sequence is bit-identical to the
+    reference's one-permutation-per-epoch slicing."""
+
     def __init__(self, primary_indices: Sequence[int],
                  secondary_indices: Sequence[int], batch_size: int,
                  secondary_batch_size: int, seed: int = 0):
@@ -27,29 +34,35 @@ class TwoStreamBatchSampler:
         self.secondary_indices = list(secondary_indices)
         self.secondary_batch_size = secondary_batch_size
         self.primary_batch_size = batch_size - secondary_batch_size
-        assert len(self.primary_indices) >= self.primary_batch_size > 0
-        assert len(self.secondary_indices) >= self.secondary_batch_size > 0
+        assert len(self.primary_indices) > 0 and self.primary_batch_size > 0
+        assert len(self.secondary_indices) > 0
+        assert self.secondary_batch_size > 0
         self._rng = np.random.default_rng(seed)
+        self._primary_pool: List[int] = []
         self._secondary_pool: List[int] = []
 
     def __len__(self) -> int:
-        return len(self.primary_indices) // self.primary_batch_size
+        return max(len(self.primary_indices) // self.primary_batch_size, 1)
 
-    def _next_secondary(self, n: int) -> List[int]:
-        while len(self._secondary_pool) < n:
-            self._secondary_pool.extend(
-                self._rng.permutation(self.secondary_indices).tolist())
-        out, self._secondary_pool = (self._secondary_pool[:n],
-                                     self._secondary_pool[n:])
+    def _next(self, pool: List[int], indices: List[int],
+              n: int) -> List[int]:
+        while len(pool) < n:
+            pool.extend(self._rng.permutation(indices).tolist())
+        out = pool[:n]
+        del pool[:n]
         return out
 
     def epoch(self) -> Iterator[Tuple[List[int], List[int]]]:
         """Yield (labeled_idxs, unlabeled_idxs) batches for one epoch."""
-        primary = self._rng.permutation(self.primary_indices).tolist()
-        for i in range(len(self)):
-            lab = primary[i * self.primary_batch_size:
-                          (i + 1) * self.primary_batch_size]
-            unlab = self._next_secondary(self.secondary_batch_size)
+        # the reference's grouper drops the sub-batch remainder of each
+        # epoch's permutation (`dataset.py:340-355`); only the secondary
+        # stream's pool persists across epochs (`iterate_eternally`)
+        self._primary_pool = []
+        for _ in range(len(self)):
+            lab = self._next(self._primary_pool, self.primary_indices,
+                             self.primary_batch_size)
+            unlab = self._next(self._secondary_pool, self.secondary_indices,
+                               self.secondary_batch_size)
             yield lab, unlab
 
     def __iter__(self):

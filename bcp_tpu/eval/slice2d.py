@@ -22,10 +22,22 @@ from bcp_tpu.eval import metrics as M
 
 class Slice2DEvaluator:
     def __init__(self, model, patch_size: Sequence[int] = (256, 256),
-                 num_classes: int = 4, slice_bucket: int = 4):
+                 num_classes: int = 4, slice_bucket: int = 4, mesh=None):
+        """``mesh``: optional 1-D device mesh — the slice batch shards
+        over it (slice buckets padded to a mesh multiple), variables
+        replicated."""
         self.model = model
         self.patch = tuple(patch_size)
         self.num_classes = num_classes
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._batch_sharded = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0]))
+            lcm = math.lcm(slice_bucket, mesh.size)
+            slice_bucket = lcm
+        else:
+            self._batch_sharded = None
         self.slice_bucket = slice_bucket
         self._fns: Dict[int, callable] = {}
 
@@ -65,7 +77,10 @@ class Slice2DEvaluator:
         if padded_n != n:
             zoomed = np.concatenate(
                 [zoomed, np.zeros((padded_n - n, *self.patch), np.float32)])
-        out = self._fn(padded_n)(variables, jnp.asarray(zoomed[..., None]))
+        x_dev = jnp.asarray(zoomed[..., None])
+        if self.mesh is not None:
+            x_dev = jax.device_put(x_dev, self._batch_sharded)
+        out = self._fn(padded_n)(variables, x_dev)
         out = np.asarray(out)[:n]
         pred = np.stack([
             ndimage.zoom(out[i], (x / self.patch[0], y / self.patch[1]),

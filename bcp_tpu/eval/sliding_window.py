@@ -73,14 +73,26 @@ class SlidingWindowEvaluator:
 
     def __init__(self, model, patch_size: Sequence[int], num_classes: int,
                  stride_xy: int, stride_z: int, batch: int = 8,
-                 bucket: Sequence[int] = (32, 32, 16)):
+                 bucket: Sequence[int] = (32, 32, 16), mesh=None):
+        """``mesh``: optional 1-D device mesh — window batches shard over
+        it (``batch`` windows *per device*), volume/score/count maps are
+        replicated; the long-input axis of SURVEY.md §5 handled by
+        spreading the window grid over chips."""
         self.model = model
         self.patch = tuple(patch_size)
         self.num_classes = num_classes
         self.stride_xy = stride_xy
         self.stride_z = stride_z
-        self.batch = batch
+        self.batch = batch * (mesh.size if mesh is not None else 1)
         self.bucket = tuple(bucket)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharded = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0]))
+        else:
+            self._replicated = self._batch_sharded = None
         self._chunk_fns: Dict[Tuple[int, ...], callable] = {}
 
     # -- jitted per-bucket-shape chunk processor -----------------------
@@ -159,6 +171,10 @@ class SlidingWindowEvaluator:
         volume = jnp.asarray(image)
         score = jnp.zeros((*padded, self.num_classes), jnp.float32)
         cnt = jnp.zeros(padded, jnp.float32)
+        if self.mesh is not None:
+            volume = jax.device_put(volume, self._replicated)
+            score = jax.device_put(score, self._replicated)
+            cnt = jax.device_put(cnt, self._replicated)
 
         B = self.batch
         n = starts.shape[0]
@@ -170,8 +186,14 @@ class SlidingWindowEvaluator:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad_n, 3), np.int32)])
                 valid = np.concatenate([valid, np.zeros(pad_n, np.float32)])
-            score, cnt = process(variables, volume, jnp.asarray(chunk),
-                                 jnp.asarray(valid), score, cnt)
+            chunk, valid = jnp.asarray(chunk), jnp.asarray(valid)
+            if self.mesh is not None:
+                # each device runs batch/mesh_size windows; the scatter
+                # into the replicated maps all-gathers the probs
+                chunk = jax.device_put(chunk, self._batch_sharded)
+                valid = jax.device_put(valid, self._batch_sharded)
+            score, cnt = process(variables, volume, chunk, valid,
+                                 score, cnt)
 
         cnt = jnp.maximum(cnt, 1.0)
         score = score / cnt[..., None]

@@ -26,9 +26,12 @@ def register(name: str):
 
 
 @register("unet")
-def _unet(class_num: int = 4, mode: str = "train", **kw):
+def _unet(class_num: int = 4, mode: str = "train", n_filters=None, **kw):
     """`net_factory('unet')` / `BCP_net` -> UNet_2d (`net_factory.py:6-7,14-19`).
-    (The reference UNet has dropout always on in train mode.)"""
+    (The reference UNet has dropout always on in train mode.)
+    ``n_filters`` scales the whole channel ladder (reference: 16)."""
+    if n_filters:
+        kw["feature_chns"] = tuple(n_filters * (2 ** i) for i in range(5))
     return UNet2D(n_classes=class_num, **kw)
 
 

@@ -96,3 +96,25 @@ class CheckpointIO:
 
 def best_model_path(snapshot_dir: str, model_name: str) -> str:
     return os.path.join(snapshot_dir, f"{model_name}_best_model")
+
+
+def scan_best_dice(snapshot_dir: str) -> float:
+    """Best validation dice already achieved in a stage directory, parsed
+    from the ``iter_{i}_dice_{d}`` snapshot names.
+
+    Used when resuming so a restarted stage cannot re-save
+    ``{model}_best_model`` over a better historical checkpoint (the
+    reference has no resume at all; a naive ``best = 0`` reset would
+    regress the best-model selection rule of `LA_BCP_train.py:176-184`).
+    """
+    best = 0.0
+    if not os.path.isdir(snapshot_dir):
+        return best
+    for name in os.listdir(snapshot_dir):
+        if not name.startswith("iter_") or "_dice_" not in name:
+            continue
+        try:
+            best = max(best, float(name.rsplit("_dice_", 1)[1]))
+        except ValueError:
+            continue
+    return best

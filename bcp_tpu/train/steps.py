@@ -149,6 +149,18 @@ def make_pretrain_step(model, tx: optax.GradientTransformation,
             dice = losses.masked_dice_loss(logits, lab)
             loss = (ce + dice) / 2.0
             metrics = {"loss": loss, "loss_dice": dice, "loss_ce": ce}
+            if cfg.variant == "pancreas":
+                # online train dice, `CutPreMeasures.update` ->
+                # `get_mask` + `dice_ratio` (`pancreas_utils.py:128-134,
+                # 153-157`; `statistic.py:28-43`): class-1 prob >= 0.5 vs
+                # the mixed label, global binary dice, +1e-6 smoothing.
+                pred = (jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1)[..., 1]
+                    >= 0.5).astype(jnp.float32)
+                labf = lab.astype(jnp.float32)
+                inter = (pred * labf).sum()
+                metrics["train_dice"] = (
+                    2.0 * inter / (pred.sum() + labf.sum() + 1e-6))
         return loss, (new_bs, metrics)
 
     @partial(jax.jit, donate_argnums=(0,))

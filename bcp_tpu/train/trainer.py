@@ -33,19 +33,44 @@ from bcp_tpu.eval.slice2d import Slice2DEvaluator
 from bcp_tpu.eval.sliding_window import SlidingWindowEvaluator
 from bcp_tpu.models import create_model
 from bcp_tpu.ops.ramps import sigmoid_rampup
-from bcp_tpu.train.checkpoints import CheckpointIO, best_model_path
+from bcp_tpu.train.checkpoints import (CheckpointIO, best_model_path,
+                                       scan_best_dice)
 from bcp_tpu.train.state import TrainState, build_optimizer, init_state
 from bcp_tpu.train.steps import make_pretrain_step, make_selftrain_step
-from bcp_tpu.utils.logging import (MetricWriter, enable_compile_cache,
+from bcp_tpu.utils.logging import (MetricWriter, cut_pre_measures,
+                                   cutmix_ft_measures, enable_compile_cache,
                                    setup_logging)
 
 
 class BCPTrainer:
+    """``cfg.num_devices`` > 1 (or -1 = all) trains data-parallel on a 1-D
+    device mesh: state replicated, every feed stream batch-sharded, eval
+    windows sharded over the same mesh; the per-device batch stays the
+    reference's and the global batch scales with the mesh
+    (parallel/mesh.py). An explicit ``sharding`` (NamedSharding over the
+    batch axis) may be passed instead of ``cfg.num_devices``."""
+
     def __init__(self, cfg: Config, snapshot_root: Optional[str] = None,
                  sharding=None, log_images: bool = False):
         self.cfg = cfg
-        self.sharding = sharding
         self.log_images = log_images
+        from bcp_tpu.parallel import data_sharding, make_mesh
+        self.mesh = None
+        self.sharding = None
+        if sharding is not None:
+            self.sharding = sharding
+            self.mesh = sharding.mesh
+        elif cfg.num_devices == -1 or cfg.num_devices > 1:
+            n = (jax.device_count() if cfg.num_devices == -1
+                 else cfg.num_devices)
+            if n > jax.device_count():
+                raise ValueError(
+                    f"num_devices={n} but only {jax.device_count()} "
+                    f"devices are visible")
+            if n > 1:
+                self.mesh = make_mesh(n)
+                self.sharding = data_sharding(self.mesh)
+        self.data_scale = self.mesh.size if self.mesh is not None else 1
         root = snapshot_root or cfg.snapshot_root
         run = f"{cfg.name}_{cfg.exp}_{cfg.labelnum}_labeled"
         self.pre_dir = os.path.join(root, run, "pre_train")
@@ -53,19 +78,23 @@ class BCPTrainer:
         import jax.numpy as jnp
         dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
             cfg.compute_dtype).type
+        extra = {"n_filters": cfg.n_filters} if cfg.n_filters else {}
         self.model = create_model(cfg.net_type, cfg.num_classes,
-                                  compute_dtype=dtype)
+                                  compute_dtype=dtype, **extra)
         self.eval_model = create_model(cfg.net_type, cfg.num_classes,
-                                       mode="test", compute_dtype=dtype)
+                                       mode="test", compute_dtype=dtype,
+                                       **extra)
         self.ckpt = CheckpointIO()
         self._val_cases: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
         if cfg.dims == 3:
             self.evaluator = SlidingWindowEvaluator(
                 self.eval_model, cfg.patch_size, cfg.num_classes,
-                cfg.stride_xy, cfg.stride_z, batch=cfg.eval_batch)
+                cfg.stride_xy, cfg.stride_z, batch=cfg.eval_batch,
+                mesh=self.mesh)
         else:
             self.evaluator = Slice2DEvaluator(
-                self.eval_model, cfg.patch_size, cfg.num_classes)
+                self.eval_model, cfg.patch_size, cfg.num_classes,
+                mesh=self.mesh)
 
     # ---------------- validation ----------------
 
@@ -104,6 +133,7 @@ class BCPTrainer:
         cfg = self.cfg
         cases = self._load_val_cases()
         variables = self._eval_variables(state)
+        self._last_val_per_class = None
         if cfg.variant == "la":
             return self.evaluator.validate_dice(variables, cases,
                                                 rule=cfg.eval_rule)
@@ -111,6 +141,7 @@ class BCPTrainer:
             per_case = [np.array(self.evaluator.validate_volume(
                 variables, img, lab)) for img, lab in cases]
             metric = np.mean(per_case, axis=0)       # (classes-1, 2)
+            self._last_val_per_class = metric        # for info/val_* tags
             return float(metric[:, 0].mean())        # mean dice
         # pancreas: mean dice over center-cropped test volumes, argmax rule
         total = 0.0
@@ -147,16 +178,31 @@ class BCPTrainer:
                 state = self.ckpt.restore_weights_only(init_from, state)
             logger.info("loaded from %s", init_from)
         last_path = os.path.join(out_dir, "last")
+        resumed_best = 0.0
         if resume and os.path.exists(last_path):
             state = self.ckpt.restore(last_path, state)
-            logger.info("resumed from %s at step %d", last_path,
-                        int(state.step))
+            # a resumed stage must not clobber {model}_best_model with a
+            # worse state: recover the historical best from the
+            # iter_{i}_dice_{d} snapshot names
+            resumed_best = scan_best_dice(out_dir)
+            logger.info("resumed from %s at step %d (best dice so far "
+                        "%.4f)", last_path, int(state.step), resumed_best)
+
+        if self.mesh is not None:
+            # data-parallel: params on every chip, XLA all-reduces grads
+            # over ICI inside the jitted step (SURVEY.md C28/C29)
+            from bcp_tpu.parallel import replicate_state
+            state = replicate_state(state, self.mesh)
+            logger.info("data-parallel mesh over %d devices "
+                        "(global batch %d)", self.mesh.size,
+                        cfg.batch_size * self.data_scale)
 
         if stage == "pre":
             step_fn = make_pretrain_step(self.model, tx, cfg)
         else:
             step_fn = make_selftrain_step(self.model, tx, cfg)
-        feeder = BCPBatchFeeder(cfg, stage, sharding=self.sharding)
+        feeder = BCPBatchFeeder(cfg, stage, sharding=self.sharding,
+                                data_scale=self.data_scale)
         logger.info("%d iterations per epoch", feeder.steps_per_epoch)
 
         if cfg.debug_nans:
@@ -164,9 +210,17 @@ class BCPTrainer:
             # TPU-native equivalent: trap NaNs inside the jitted step.
             jax.config.update("jax_debug_nans", True)
 
+        meters = None
+        if cfg.variant == "pancreas":
+            # `CutPreMeasures` / `CutmixFTMeasures` online meters incl.
+            # per-step train dice (`pancreas_utils.py:122-150,223-251`,
+            # `train_pancreas.py:63,98-99,114,173-174`)
+            meters = (cut_pre_measures(writer, logger) if stage == "pre"
+                      else cutmix_ft_measures(writer, logger))
+
         base_key = jax.random.PRNGKey(cfg.seed + (0 if stage == "pre"
                                                   else 1))
-        best_dice = 0.0
+        best_dice = resumed_best
         best_path = best_model_path(out_dir, cfg.net_type)
         t0 = time.time()
         start = int(state.step)
@@ -179,8 +233,8 @@ class BCPTrainer:
             if it % cfg.log_every == 0:
                 host_metrics = {k: float(v) for k, v in
                                 jax.device_get(metrics).items()}
-                for k, v in host_metrics.items():
-                    writer.scalar(f"{stage}/{k}", v, it)
+                for k, v in self._metric_tags(stage, host_metrics).items():
+                    writer.scalar(k, v, it)
             else:
                 host_metrics = None
             if stage == "self":
@@ -188,11 +242,33 @@ class BCPTrainer:
                 # `LA_BCP_train.py:246,260`)
                 cw = cfg.consistency * float(
                     sigmoid_rampup(it // 150, cfg.consistency_rampup))
-                writer.scalar("Self/consistency", cw, it)
+                if cfg.variant == "acdc":
+                    # `ACDC_BCP_train.py:395`
+                    writer.scalar("info/consistency_weight", cw, it)
+                else:
+                    # `LA_BCP_train.py:260`
+                    writer.scalar("Self/consistency", cw, it)
             if host_metrics is not None:
-                logger.info("iteration %d : %s", it, " ".join(
-                    f"{k}: {v:.4f}" for k, v in
-                    sorted(host_metrics.items())))
+                if meters is not None:
+                    epoch = (it - 1) // feeder.steps_per_epoch + 1
+                    if (it - 1) % feeder.steps_per_epoch == 0:
+                        meters.reset()   # per-epoch averages, as reference
+                    if stage == "pre":
+                        meters.update(
+                            ce_loss=host_metrics["loss_ce"],
+                            dice_loss=host_metrics["loss_dice"],
+                            loss_all=host_metrics["loss"],
+                            train_dice=host_metrics["train_dice"])
+                    else:
+                        meters.update(
+                            mix_loss_lab=host_metrics["loss_l"],
+                            mix_loss_unlab=host_metrics["loss_u"],
+                            loss_all=host_metrics["loss"])
+                    meters.log(epoch, it)
+                else:
+                    logger.info("iteration %d : %s", it, " ".join(
+                        f"{k}: {v:.4f}" for k, v in
+                        sorted(host_metrics.items())))
             if cfg.profile_dir and it == cfg.profile_steps[1] + start:
                 jax.profiler.stop_trace()
                 logger.info("profiler trace written to %s",
@@ -214,8 +290,7 @@ class BCPTrainer:
                     self.ckpt.save(best_path, state)
                     logger.info("save best model to %s", tagged)
                 self.ckpt.save(last_path, state)
-                writer.scalar("4_Var_dice/Dice", dice_sample, it)
-                writer.scalar("4_Var_dice/Best_dice", best_dice, it)
+                self._val_tags(writer, stage, dice_sample, best_dice, it)
 
         if not os.path.exists(best_path):
             # A stage shorter than eval_every would otherwise leave no
@@ -237,6 +312,47 @@ class BCPTrainer:
         feeder.close()
         writer.close()
         return best_dice, best_path
+
+    def _metric_tags(self, stage: str, m: Dict[str, float]
+                     ) -> Dict[str, float]:
+        """Per-variant step-scalar tags, byte-identical to the reference:
+        LA `pre/*` + `Self/*` (`LA_BCP_train.py:164-166,261-263`), ACDC
+        `info/*` (`ACDC_BCP_train.py:259-261,392-394`); pancreas scalars
+        are owned by the Measures meters (`pancreas_utils.py:146-149`)."""
+        if self.cfg.variant == "acdc":
+            return {"info/total_loss": m["loss"],
+                    "info/mix_dice": m["loss_dice"],
+                    "info/mix_ce": m["loss_ce"]}
+        if self.cfg.variant == "la":
+            if stage == "pre":
+                return {"pre/loss_dice": m["loss_dice"],
+                        "pre/loss_ce": m["loss_ce"],
+                        "pre/loss_all": m["loss"]}
+            return {"Self/loss_l": m["loss_l"],
+                    "Self/loss_u": m["loss_u"],
+                    "Self/loss_all": m["loss"]}
+        return {}
+
+    def _val_tags(self, writer: MetricWriter, stage: str,
+                  dice_sample: float, best_dice: float, it: int) -> None:
+        """Validation tags: LA `4_Var_dice/*` (`LA_BCP_train.py:185-186`),
+        ACDC `info/val_*` (`ACDC_BCP_train.py:281-285`), pancreas
+        `test_dice`/`val_dice` (`train_pancreas.py:77,136`)."""
+        if self.cfg.variant == "acdc":
+            per_class = getattr(self, "_last_val_per_class", None)
+            if per_class is not None:
+                for ci in range(per_class.shape[0]):
+                    writer.scalar(f"info/val_{ci + 1}_dice",
+                                  float(per_class[ci, 0]), it)
+                    writer.scalar(f"info/val_{ci + 1}_hd95",
+                                  float(per_class[ci, 1]), it)
+            writer.scalar("info/val_mean_dice", dice_sample, it)
+        elif self.cfg.variant == "pancreas":
+            writer.scalar("test_dice" if stage == "pre" else "val_dice",
+                          dice_sample, it)
+        else:
+            writer.scalar("4_Var_dice/Dice", dice_sample, it)
+            writer.scalar("4_Var_dice/Best_dice", best_dice, it)
 
     def _log_images(self, writer: MetricWriter, state: TrainState,
                     batch, it: int, stage: str):
