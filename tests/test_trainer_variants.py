@@ -18,6 +18,7 @@ def test_acdc_two_stage(tmp_path_factory):
     feed.ACDC_PATIENTS_TO_SLICES[1] = 8
     cfg = acdc_config(labelnum=1).replace(
         root_path=root, patch_size=(32, 32), batch_size=8, labeled_bs=4,
+        n_filters=4,
         pre_iterations=4, self_iterations=4, eval_every=2,
         snapshot_root=str(tmp_path_factory.mktemp("acdc_snap")))
     trainer = BCPTrainer(cfg)
@@ -33,7 +34,7 @@ def test_pancreas_two_stage(tmp_path_factory):
         n_test=2, shape=(40, 40, 40))
     cfg = pancreas_config().replace(
         root_path=root, patch_size=(32, 32, 32), mask_patch=16,
-        batch_size=8, labeled_bs=4, labeled_oversample=2,
+        batch_size=8, labeled_bs=4, labeled_oversample=2, n_filters=4,
         pre_iterations=3, self_iterations=3, eval_every=3,
         stride_xy=16, stride_z=16, eval_batch=4,
         snapshot_root=str(tmp_path_factory.mktemp("panc_snap")))
