@@ -7,11 +7,14 @@ EMA) at the reference's real configuration: V-Net, 112x112x80 patches,
 batch 8 (4 labeled + 4 unlabeled) — `LA_BCP_train.py:36-55,234-270`.
 
 Baseline: the reference publishes no throughput numbers (README gives only
-"one RTX 3090"). The reference step on a 3090 is bounded below by ~0.75
-s/iter (16 forward-equivalents of a 190-GFLOP V-Net at optimistic fp32
-utilisation, *plus* the per-iteration CPU largest-CC round-trip,
-`LA_BCP_train.py:65-77`), i.e. <= ~10.7 patches/s. vs_baseline uses that
-estimate; the north star is >=3x reference wall-clock.
+"one RTX 3090"). vs_baseline divides by an *estimated* 10.7 patches/s
+(0.75 s/iter): 16 sample-forward-equivalents x 80.2 GFLOP V-Net forward
+at single-digit-to-low-double-digit cudnn MFU for these low-channel 3D
+shapes, plus ~145 ms of per-iteration CPU largest-CC (measured scipy
+anchor: 36 ms/mask x 4) and host overhead. Full arithmetic, the
+uncertainty band (11-31 patches/s) and its anchors: BASELINE.md
+"Throughput baseline derivation". The absolute patches/s/chip is the
+measured quantity; the north star is >=3x the estimate.
 
 Prints exactly one JSON line.
 """
