@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bcp_tpu.eval.metrics import host_largest_cc
+from bcp_tpu.ops.scatter import pallas_supported, scatter_add_windows
 
 
 def window_starts(vol_shape: Sequence[int], patch: Sequence[int],
@@ -94,52 +95,110 @@ class SlidingWindowEvaluator:
         else:
             self._replicated = self._batch_sharded = None
         self._chunk_fns: Dict[Tuple[int, ...], callable] = {}
+        self._volume_fns: Dict[Tuple[int, ...], callable] = {}
+        self._cnt_cache: Dict[Tuple, jax.Array] = {}
+        # Pallas overlap-add kernel: single-device TPU only (the mesh
+        # path needs the XLA loop's collective handling; CPU tests use
+        # the XLA loop, which stays numerically identical)
+        self._use_pallas = (mesh is None
+                            and jax.default_backend() != "cpu")
+        if self._use_pallas:
+            # the kernel rolls along the (Y, Z*C) vector dims, so the
+            # bucketed z extent must make Z*C a multiple of the 128-lane
+            # tiling (Y buckets are already multiples of 8)
+            z_mult = 128 // math.gcd(num_classes, 128)
+            self.bucket = (*self.bucket[:2],
+                           math.lcm(self.bucket[2], z_mult))
 
-    # -- jitted per-bucket-shape chunk processor -----------------------
-    def _chunk_fn(self, vol_shape: Tuple[int, ...]):
-        if vol_shape in self._chunk_fns:
-            return self._chunk_fns[vol_shape]
-
+    # -- shared chunk computation (B windows: gather, forward, scatter) --
+    def _process_chunk(self, variables, volume, starts, valid, score):
         patch = self.patch
         C = self.num_classes
         model = self.model
 
-        @jax.jit
-        def process(variables, volume, starts, valid, score, cnt):
-            def gather(s):
-                return jax.lax.dynamic_slice(volume, (s[0], s[1], s[2]),
-                                             patch)
-            patches = jax.vmap(gather)(starts)[..., None]
+        def gather(s):
+            return jax.lax.dynamic_slice(volume, (s[0], s[1], s[2]), patch)
+        patches = jax.vmap(gather)(starts)[..., None]
 
-            def forward(v):
-                out = model.apply(v, patches, train=False)
-                return out[0] if isinstance(out, tuple) else out
+        def forward(v):
+            out = model.apply(v, patches, train=False)
+            return out[0] if isinstance(out, tuple) else out
 
-            if isinstance(variables, (list, tuple)):
-                # two-model ensemble: average logits before softmax —
-                # `test_single_case_plus` (`test_3d_patch.py:249-253`)
-                logits = sum(forward(v) for v in variables) / len(variables)
-            else:
-                logits = forward(variables)
-            probs = jax.nn.softmax(logits, axis=-1)
-            probs = probs * valid[:, None, None, None, None]
+        if isinstance(variables, (list, tuple)):
+            # two-model ensemble: average logits before softmax —
+            # `test_single_case_plus` (`test_3d_patch.py:249-253`)
+            logits = sum(forward(v) for v in variables) / len(variables)
+        else:
+            logits = forward(variables)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = probs * valid[:, None, None, None, None]
 
-            def body(i, carry):
-                sc, ct = carry
-                s = starts[i]
-                idx = (s[0], s[1], s[2], 0)
-                tile = jax.lax.dynamic_slice(sc, idx, (*patch, C))
-                sc = jax.lax.dynamic_update_slice(sc, tile + probs[i], idx)
-                ctile = jax.lax.dynamic_slice(ct, (s[0], s[1], s[2]), patch)
-                ct = jax.lax.dynamic_update_slice(
-                    ct, ctile + valid[i].astype(ct.dtype),
-                    (s[0], s[1], s[2]))
-                return sc, ct
+        if self._use_pallas and pallas_supported(probs.shape, score.shape):
+            # stride-18/4 window offsets are unaligned with the (8,128)
+            # vector tiling, making the XLA slice/update loop relayout
+            # ~16 MB per window (~22 ms/chunk at LA shapes); the Pallas
+            # kernel streams the read-modify-write through VMEM instead
+            return scatter_add_windows(score, probs.astype(jnp.float32),
+                                       starts)
 
-            return jax.lax.fori_loop(0, starts.shape[0], body, (score, cnt))
+        def body(i, sc):
+            s = starts[i]
+            idx = (s[0], s[1], s[2], 0)
+            tile = jax.lax.dynamic_slice(sc, idx, (*patch, C))
+            return jax.lax.dynamic_update_slice(sc, tile + probs[i], idx)
 
+        return jax.lax.fori_loop(0, starts.shape[0], body, score)
+
+    # -- jitted per-bucket-shape chunk processor (mesh path) ------------
+    def _chunk_fn(self, vol_shape: Tuple[int, ...]):
+        if vol_shape in self._chunk_fns:
+            return self._chunk_fns[vol_shape]
+        process = jax.jit(self._process_chunk)
         self._chunk_fns[vol_shape] = process
         return process
+
+    # -- jitted whole-volume processor (single-device path) -------------
+    def _volume_fn(self, vol_shape: Tuple[int, ...], n_chunks: int):
+        """One XLA program runs every window chunk of a volume via an
+        inner ``fori_loop`` — on a tunneled/remote device the per-chunk
+        dispatch round-trips add up (~13 sequential dispatches per LA
+        volume); fusing the loop removes all but one."""
+        key = (*vol_shape, n_chunks)
+        if key in self._volume_fns:
+            return self._volume_fns[key]
+        B = self.batch
+
+        @jax.jit
+        def process_all(variables, volume, starts, valid, score):
+            def chunk(ci, sc):
+                s = jax.lax.dynamic_slice(starts, (ci * B, 0), (B, 3))
+                v = jax.lax.dynamic_slice(valid, (ci * B,), (B,))
+                return self._process_chunk(variables, volume, s, v, sc)
+            return jax.lax.fori_loop(0, n_chunks, chunk, score)
+
+        self._volume_fns[key] = process_all
+        return process_all
+
+    # -- host-side count map (data-independent, cached per shape) --------
+    def _count_map(self, starts: np.ndarray, padded: Tuple[int, ...]):
+        """The overlap count map depends only on the window grid, not the
+        data: build it once per volume shape with numpy and keep the
+        device copy cached — the reference recomputes it per volume on
+        device (`test_3d_patch.py:133`), a third of the scatter traffic.
+        """
+        key = (padded, starts.shape[0], self.stride_xy, self.stride_z)
+        if key in self._cnt_cache:
+            return self._cnt_cache[key]
+        cnt = np.zeros(padded, np.float32)
+        p = self.patch
+        for s in starts:
+            cnt[s[0]:s[0] + p[0], s[1]:s[1] + p[1], s[2]:s[2] + p[2]] += 1.0
+        cnt = np.maximum(cnt, 1.0)
+        dev = jnp.asarray(cnt)
+        if self.mesh is not None:
+            dev = jax.device_put(dev, self._replicated)
+        self._cnt_cache[key] = dev
+        return dev
 
     # -- public API -----------------------------------------------------
     def infer(self, variables, image: np.ndarray,
@@ -167,35 +226,46 @@ class SlidingWindowEvaluator:
                 image, [(0, p - s) for p, s in zip(padded, grid_shape)],
                 mode="constant", constant_values=0)
 
-        process = self._chunk_fn(padded)
         volume = jnp.asarray(image)
         score = jnp.zeros((*padded, self.num_classes), jnp.float32)
-        cnt = jnp.zeros(padded, jnp.float32)
         if self.mesh is not None:
             volume = jax.device_put(volume, self._replicated)
             score = jax.device_put(score, self._replicated)
-            cnt = jax.device_put(cnt, self._replicated)
+        cnt = self._count_map(starts, padded)
 
         B = self.batch
         n = starts.shape[0]
-        for i in range(0, n, B):
-            chunk = starts[i:i + B]
-            valid = np.ones((len(chunk),), np.float32)
-            if len(chunk) < B:  # pad the tail chunk, mask contributions
-                pad_n = B - len(chunk)
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad_n, 3), np.int32)])
-                valid = np.concatenate([valid, np.zeros(pad_n, np.float32)])
-            chunk, valid = jnp.asarray(chunk), jnp.asarray(valid)
-            if self.mesh is not None:
+        if self.mesh is None:
+            # single device: run every chunk inside one jitted program
+            n_chunks = math.ceil(n / B)
+            pad_n = n_chunks * B - n
+            valid = np.concatenate([np.ones(n, np.float32),
+                                    np.zeros(pad_n, np.float32)])
+            all_starts = np.concatenate(
+                [starts, np.zeros((pad_n, 3), np.int32)])
+            process_all = self._volume_fn(padded, n_chunks)
+            score = process_all(variables, volume,
+                                jnp.asarray(all_starts),
+                                jnp.asarray(valid), score)
+        else:
+            process = self._chunk_fn(padded)
+            for i in range(0, n, B):
+                chunk = starts[i:i + B]
+                valid = np.ones((len(chunk),), np.float32)
+                if len(chunk) < B:  # pad the tail chunk, mask it out
+                    pad_n = B - len(chunk)
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad_n, 3), np.int32)])
+                    valid = np.concatenate(
+                        [valid, np.zeros(pad_n, np.float32)])
                 # each device runs batch/mesh_size windows; the scatter
                 # into the replicated maps all-gathers the probs
-                chunk = jax.device_put(chunk, self._batch_sharded)
-                valid = jax.device_put(valid, self._batch_sharded)
-            score, cnt = process(variables, volume, chunk, valid,
-                                 score, cnt)
+                chunk = jax.device_put(jnp.asarray(chunk),
+                                       self._batch_sharded)
+                valid = jax.device_put(jnp.asarray(valid),
+                                       self._batch_sharded)
+                score = process(variables, volume, chunk, valid, score)
 
-        cnt = jnp.maximum(cnt, 1.0)
         score = score / cnt[..., None]
         if rule == "argmax":
             label = jnp.argmax(score, axis=-1)
