@@ -20,6 +20,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 
-# Persistent compile cache: the 3D-model compiles dominate suite runtime.
+# Persistent compile cache: the 3D-model compiles dominate suite runtime
+# (single-core CI hosts especially); cache everything non-trivial.
 jax.config.update("jax_compilation_cache_dir", "/tmp/bcp_tpu_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

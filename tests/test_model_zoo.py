@@ -49,8 +49,8 @@ def test_unet3d_nonresidual_param_reduction():
 
 
 def test_unetr_forward():
-    model = UNETR(img_shape=(32, 32, 32), n_classes=2, embed_dim=64,
-                  patch_size=16, num_heads=4, num_layers=4,
+    model = UNETR(img_shape=(32, 32, 32), n_classes=2, embed_dim=32,
+                  patch_size=16, num_heads=2, num_layers=4,
                   ext_layers=(1, 2, 3, 4))
     x = jnp.zeros((1, 32, 32, 32, 1))
     variables = model.init(
@@ -60,12 +60,12 @@ def test_unetr_forward():
     assert logits.shape == (1, 32, 32, 32, 2)
     # position embeddings sized to the token count (2^3 patches)
     pos = variables["params"]["position_embeddings"]
-    assert pos.shape == (1, 8, 64)
+    assert pos.shape == (1, 8, 32)
 
 
 def test_unetr_train_mode_runs():
-    model = UNETR(img_shape=(32, 32, 32), n_classes=2, embed_dim=64,
-                  patch_size=16, num_heads=4, num_layers=4,
+    model = UNETR(img_shape=(32, 32, 32), n_classes=2, embed_dim=32,
+                  patch_size=16, num_heads=2, num_layers=4,
                   ext_layers=(1, 2, 3, 4))
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 32, 1))
     variables = model.init(

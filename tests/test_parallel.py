@@ -75,6 +75,7 @@ def test_dp_matches_single_device():
 
 
 @requires_8
+@pytest.mark.slow
 def test_trainer_multichip_end_to_end(tmp_path_factory):
     """VERDICT r1 item 1: the user-reachable multi-chip path. Both stages
     + validation run through BCPTrainer on an 8-device mesh via
