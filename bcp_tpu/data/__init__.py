@@ -1,7 +1,9 @@
 """Host-side data pipelines (HDF5 volumes, augmentation, two-stream
 semi-supervised batching, device prefetch)."""
 
-from bcp_tpu.data.sampler import TwoStreamBatchSampler, two_stream_batches
+from bcp_tpu.data.sampler import (ThreeStreamBatchSampler,
+                                  TwoStreamBatchSampler,
+                                  two_stream_batches)
 from bcp_tpu.data.datasets import (
     LAHeartDataset,
     ACDCDataset,
@@ -11,7 +13,8 @@ from bcp_tpu.data.datasets import (
 from bcp_tpu.data.feed import BCPBatchFeeder
 
 __all__ = [
-    "TwoStreamBatchSampler", "two_stream_batches",
+    "ThreeStreamBatchSampler", "TwoStreamBatchSampler",
+    "two_stream_batches",
     "LAHeartDataset", "ACDCDataset", "PancreasDataset", "build_dataset",
     "BCPBatchFeeder",
 ]

@@ -7,9 +7,9 @@ indices (primary stream, reshuffled once per epoch) followed by
 One epoch = one pass over the primary indices. All randomness comes from an
 explicit ``np.random.Generator``.
 
-The reference's buggy `ThreeStreamBatchSampler` (`dataset.py:310-338`,
-shadowed tuple unpacking; never used by any entry point) is deliberately
-not reproduced.
+`ThreeStreamBatchSampler` below is the corrected form of the reference's
+unused three-stream variant (`dataset.py:310-338`); see its docstring for
+the two reference bugs it repairs.
 """
 
 from __future__ import annotations
@@ -68,6 +68,58 @@ class TwoStreamBatchSampler:
     def __iter__(self):
         for lab, unlab in self.epoch():
             yield lab + unlab
+
+
+class ThreeStreamBatchSampler:
+    """Corrected `ThreeStreamBatchSampler` (`dataloaders/dataset.py:310-338`).
+
+    The reference version (never used by any entry point) composes each
+    batch as ``primary_chunk + secondary_chunk + primary_chunk`` where both
+    primary groupers pull from the *same* single-pass iterator — so the two
+    labeled sub-batches are consecutive disjoint chunks of one epoch
+    permutation. Reproduced here, minus two reference bugs:
+
+    - the generator expression unpacks into a shadowed ``primary_batch``
+      name twice (`dataset.py:332-333`), which is confusing but happens to
+      still yield the right tuple; here the three chunks are named.
+    - ``__len__`` claims ``len(primary) // primary_bs`` batches
+      (`dataset.py:337-338`) but iteration actually exhausts the primary
+      pass twice as fast; ``__len__`` here reports the real batch count.
+    """
+
+    def __init__(self, primary_indices: Sequence[int],
+                 secondary_indices: Sequence[int], batch_size: int,
+                 secondary_batch_size: int, seed: int = 0):
+        self.primary_indices = list(primary_indices)
+        self.secondary_indices = list(secondary_indices)
+        self.secondary_batch_size = secondary_batch_size
+        self.primary_batch_size = batch_size - secondary_batch_size
+        assert len(self.primary_indices) >= 2 * self.primary_batch_size > 0
+        assert len(self.secondary_indices) > 0
+        assert self.secondary_batch_size > 0
+        self._rng = np.random.default_rng(seed)
+        self._secondary_pool: List[int] = []
+
+    def __len__(self) -> int:
+        return len(self.primary_indices) // (2 * self.primary_batch_size)
+
+    def epoch(self) -> Iterator[Tuple[List[int], List[int], List[int]]]:
+        """Yield (labeled_a, unlabeled, labeled_b) index batches."""
+        perm = self._rng.permutation(self.primary_indices).tolist()
+        n = self.primary_batch_size
+        for i in range(len(self)):
+            lab_a = perm[2 * i * n:(2 * i + 1) * n]
+            lab_b = perm[(2 * i + 1) * n:(2 * i + 2) * n]
+            while len(self._secondary_pool) < self.secondary_batch_size:
+                self._secondary_pool.extend(
+                    self._rng.permutation(self.secondary_indices).tolist())
+            unlab = self._secondary_pool[:self.secondary_batch_size]
+            del self._secondary_pool[:self.secondary_batch_size]
+            yield lab_a, unlab, lab_b
+
+    def __iter__(self):
+        for lab_a, unlab, lab_b in self.epoch():
+            yield lab_a + unlab + lab_b
 
 
 def two_stream_batches(primary_indices, secondary_indices, batch_size,

@@ -6,7 +6,8 @@ import pytest
 
 from bcp_tpu.config import acdc_config, la_config, pancreas_config
 from bcp_tpu.data import (ACDCDataset, BCPBatchFeeder, LAHeartDataset,
-                          PancreasDataset, TwoStreamBatchSampler)
+                          PancreasDataset, ThreeStreamBatchSampler,
+                          TwoStreamBatchSampler)
 from bcp_tpu.data import synthetic, transforms
 
 
@@ -37,6 +38,27 @@ def test_two_stream_sampler_secondary_reshuffles():
             unlab.extend(u)
     # every unlabeled index appears (infinite reshuffle covers the pool)
     assert set(unlab) == set(range(4, 10))
+
+
+def test_three_stream_sampler_composition():
+    # Corrected `ThreeStreamBatchSampler` (`dataloaders/dataset.py:310-338`):
+    # batch = lab_a + unlab + lab_b where lab_a/lab_b are consecutive
+    # disjoint chunks of one epoch permutation of the primary indices.
+    s = ThreeStreamBatchSampler(list(range(8)), list(range(8, 80)), 4, 2,
+                                seed=0)
+    assert len(s) == 2  # 8 labeled / (2 * primary_bs 2)
+    seen_lab = []
+    for lab_a, unlab, lab_b in s.epoch():
+        assert len(lab_a) == 2 and len(unlab) == 2 and len(lab_b) == 2
+        assert all(i < 8 for i in lab_a + lab_b)
+        assert all(i >= 8 for i in unlab)
+        assert not set(lab_a) & set(lab_b)
+        seen_lab.extend(lab_a + lab_b)
+    # one epoch covers each labeled index exactly once across both chunks
+    assert sorted(seen_lab) == list(range(8))
+    # flat iteration matches the reference's concatenated batch layout
+    flat = next(iter(s))
+    assert len(flat) == 6
 
 
 # ---------------- transforms ----------------
