@@ -95,30 +95,41 @@ _zpacked_conv3d.defvjp(_zpacked_fwd, _zpacked_bwd)
 
 
 class ZPackedConv3D(nn.Module):
-    """3^3 stride-1 SAME conv computed as a z-tiled block-Toeplitz conv.
+    """3^3 stride-1 SAME conv with MXU-aware lowerings.
 
     Low-channel 3D convs starve the MXU: a 16-feature conv leaves 112 of
     the 128 output lanes padded (measured 4% MFU at the V-Net level-1
-    shape on v5e). Packing ``z_tile`` consecutive z-outputs into the
-    feature axis — kernel ``(3, 3, z_tile+2, Cin, z_tile*Cout)`` with the
-    original weights scattered block-Toeplitz along (z_window, z_out), z
-    stride ``z_tile`` — fills the lanes (z_tile*Cout = 128) and cuts the
-    padded-K cycles ~2.7x; measured 18.6 -> 12.0 ms forward for the
-    level-1 conv at LA shapes (batch 8). Gradients flow through the
-    direct conv's VJP (see ``_zpacked_conv3d``).
+    shape on v5e). Three lowerings, best-first:
 
-    The sums are term-identical to the direct conv (the extra kernel
-    entries are structural zeros), so results match the direct lowering up
-    to bf16 reassociation. Parameters are stored in the standard
-    ``nn.Conv`` layout — kernel ``(3,3,3,Cin,Cout)``, bias ``(Cout,)`` —
-    so checkpoints are interchangeable with the direct path; falls back to
-    the direct conv when the z extent does not tile.
+    1. **Pallas kernel** (`ops/conv3d.py`, TPU backends only): in-VMEM
+       im2col with the z block-Toeplitz weight expansion — all 128 MXU
+       output lanes productive, no HBM im2col. Measured ~4x over the
+       direct lowering at the V-Net level-1 shape on v5e.
+    2. **z-packed XLA conv** (``_zpacked_conv3d``): kernel
+       ``(3, 3, z_tile+2, Cin, z_tile*Cout)`` with the weights scattered
+       block-Toeplitz along (z_window, z_out), z stride ``z_tile`` —
+       fills the output lanes at the price of structurally-zero K
+       entries; measured 18.6 -> 12.0 ms forward for the level-1 conv at
+       LA shapes (batch 8).
+    3. **direct XLA conv** for everything else (>=64 features measured a
+       wash vs z-packing on v5e).
+
+    All three are term-identical up to bf16 reassociation, and parameters
+    are stored in the standard ``nn.Conv`` layout — kernel
+    ``(3,3,3,Cin,Cout)``, bias ``(Cout,)`` — so checkpoints are
+    interchangeable across lowerings and devices.
     """
     features: int
     dtype: object = None
+    # Pallas lowering is opt-in per model: profitable only when the
+    # surrounding ops keep the merged (z, c) lane layout (see
+    # ops/conv3d.py) — standalone, the XLA relayout at the call boundary
+    # (~1.4 ms at LA level-1 shapes) outweighs the kernel's win.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from bcp_tpu.ops import conv3d as _c3d
         ci = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init,
                             (3, 3, 3, ci, self.features))
@@ -128,15 +139,22 @@ class ZPackedConv3D(nn.Module):
         x = x.astype(dtype)
         w = kernel.astype(dtype)
         z = x.shape[3]
-        # lanes fill at z_tile*Cout = 128; larger tiles pay more padded K.
-        # >=64 features measured a wash on v5e -> direct lowering.
-        z_tile = 128 // self.features if self.features <= 32 else 1
-        while z_tile > 1 and z % z_tile != 0:
-            z_tile //= 2
-        if z_tile <= 1 or z < z_tile + 2:
-            y = _direct_conv3d(x, w)
+        tiles = None
+        if self.use_pallas and jax.default_backend() != "cpu":
+            tiles = _c3d.pallas_conv_tiles(
+                x.shape, (3, 3, 3, ci, self.features))
+        if tiles is not None:
+            y = _c3d.conv3x3x3_same(x, w, tiles)
         else:
-            y = _zpacked_conv3d(x, w, z_tile)
+            # lanes fill at z_tile*Cout = 128; larger tiles pay more
+            # padded K
+            z_tile = 128 // self.features if self.features <= 32 else 1
+            while z_tile > 1 and z % z_tile != 0:
+                z_tile //= 2
+            if z_tile <= 1 or z < z_tile + 2:
+                y = _direct_conv3d(x, w)
+            else:
+                y = _zpacked_conv3d(x, w, z_tile)
         return y + bias.astype(dtype)
 
 
