@@ -90,6 +90,13 @@ def _zpacked_fwd(x, w, z_tile):
 
 
 def _zpacked_bwd(z_tile, res, dy):
+    # dw stays on XLA's conv VJP deliberately: swapping in the Pallas
+    # A^T @ dy kernel (ops/conv3d._conv3x3x3_dw_pallas) measured 35.9 ->
+    # 24.1 patches/s for the full LA step on v5e — in-graph, XLA folds
+    # the dw reduction into its fusion/scheduling, and an opaque
+    # pallas_call there fragments the backward and forces extra layout
+    # copies. The kernel remains available for merged-chain development
+    # (BCP_MERGED_CHAINS=1).
     x, w = res
     dy = dy.astype(x.dtype)
     wt = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
@@ -136,9 +143,16 @@ class ZPackedConv3D(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, merged_z: int = 0):
         from bcp_tpu.ops import conv3d as _c3d
-        ci = x.shape[-1]
+        if merged_z:
+            # merged-layout chain entry: x is (B, X, Y, Z*Ci) with the
+            # (z, ci) dims in the lane axis (see ops/conv3d.py); params
+            # are identical to the unmerged path, so checkpoints are
+            # interchangeable.
+            ci = x.shape[-1] // merged_z
+        else:
+            ci = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init,
                             (3, 3, 3, ci, self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
@@ -146,6 +160,16 @@ class ZPackedConv3D(nn.Module):
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         w = kernel.astype(dtype)
+        if merged_z:
+            tiles = _c3d.pallas_conv_tiles(
+                (x.shape[0], x.shape[1], x.shape[2], merged_z, ci),
+                (3, 3, 3, ci, self.features))
+            if tiles is not None:
+                ym = _c3d.conv3x3x3_merged(x, w, merged_z, tiles)
+            else:   # correctness fallback: unmerge, conv, re-merge
+                y5 = _direct_conv3d(_c3d.unmerge_zc(x, merged_z), w)
+                ym = _c3d.merge_zc(y5)
+            return ym + jnp.tile(bias.astype(dtype), merged_z)
         z = x.shape[3]
         tiles = None
         if self.use_pallas and jax.default_backend() != "cpu":
@@ -196,8 +220,9 @@ class TorchBatchNorm(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
-        C = x.shape[-1]
+    def __call__(self, x, use_running_average: bool, merged_z: int = 0):
+        zrep = max(merged_z, 1)
+        C = x.shape[-1] // zrep
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -206,12 +231,18 @@ class TorchBatchNorm(nn.Module):
                                nn.initializers.ones, None, (C,))
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
+
+        def lanes(v):
+            # per-channel vector -> per-lane vector (tiled over z when
+            # the (z, c) dims are lane-merged)
+            return jnp.tile(v, zrep) if merged_z else v
+
         if use_running_average:
             mean = ra_mean.value.astype(dtype)
             var = ra_var.value.astype(dtype)
             inv = jax.lax.rsqrt(var + jnp.asarray(self.epsilon, dtype))
-            return (x - mean) * inv * scale.astype(dtype) + \
-                bias.astype(dtype)
+            return x * lanes(inv * scale.astype(dtype)) + \
+                lanes(bias.astype(dtype) - mean * inv * scale.astype(dtype))
 
         G = self.groups
         n = x.shape[0]
@@ -221,16 +252,25 @@ class TorchBatchNorm(nn.Module):
         # Stats in f32 (the casts fuse into the reductions — no f32 copy
         # of the activations is materialised, which matters for HBM at
         # the full LA shapes); normalisation runs in the compute dtype.
+        # In merged layout the reduction runs in two stages: over
+        # (batch, x, y) keeping the (z, c) lanes, then over z on the
+        # tiny (G, Z, C) result — same equal-weight mean, no relayout.
         xf32 = xg.astype(jnp.float32)
-        mean_g = jnp.mean(xf32, axis=red)                      # (G, C)
+        mean_g = jnp.mean(xf32, axis=red)                # (G, [Z*]C)
         mean2_g = jnp.mean(jnp.square(xf32), axis=red)
+        if merged_z:
+            mean_g = jnp.mean(mean_g.reshape(G, zrep, C), axis=1)
+            mean2_g = jnp.mean(mean2_g.reshape(G, zrep, C), axis=1)
         var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
         inv_g = jax.lax.rsqrt(var_g + self.epsilon)            # (G, C)
         mul = (inv_g * scale[None].astype(jnp.float32)).astype(dtype)
         add = (bias[None].astype(jnp.float32)
                - mean_g * inv_g * scale[None].astype(
                    jnp.float32)).astype(dtype)
-        shape_g = (G, 1) + (1,) * (xg.ndim - 3) + (C,)
+        if merged_z:
+            mul = jnp.tile(mul, (1, zrep))
+            add = jnp.tile(add, (1, zrep))
+        shape_g = (G, 1) + (1,) * (xg.ndim - 3) + (xg.shape[-1],)
         y = xg * mul.reshape(shape_g) + add.reshape(shape_g)
         y = y.reshape(x.shape)
 
@@ -245,10 +285,26 @@ class TorchBatchNorm(nn.Module):
         return y
 
 
-def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+def instance_norm(x: jax.Array, eps: float = 1e-5,
+                  merged_z: int = 0) -> jax.Array:
     """Parameter-free instance norm over spatial dims (torch
     ``InstanceNorm3d`` defaults: affine=False, no running stats —
-    `pancreas/Vnet.py:25`)."""
+    `pancreas/Vnet.py:25`). With ``merged_z`` the input is
+    (B, X, Y, Z*C) and stats fold the z part of the lane axis in a
+    second, tiny reduction stage."""
+    if merged_z:
+        B = x.shape[0]
+        C = x.shape[-1] // merged_z
+        xf = x.astype(jnp.float32)
+        m1 = xf.mean(axis=(1, 2))                      # (B, Z*C)
+        m2 = jnp.square(xf).mean(axis=(1, 2))
+        mean = m1.reshape(B, merged_z, C).mean(axis=1)     # (B, C)
+        mean2 = m2.reshape(B, merged_z, C).mean(axis=1)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        mul = jnp.tile(jax.lax.rsqrt(var + eps), (1, merged_z))
+        add = -jnp.tile(mean, (1, merged_z)) * mul
+        return (x * mul[:, None, None, :].astype(x.dtype)
+                + add[:, None, None, :].astype(x.dtype))
     axes = tuple(range(1, x.ndim - 1))
     mean = x.mean(axis=axes, keepdims=True)
     var = x.var(axis=axes, keepdims=True)
@@ -264,19 +320,23 @@ class Norm(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, merged_z: int = 0):
         if self.kind == "batchnorm":
             return TorchBatchNorm(momentum=0.9, epsilon=1e-5,
                                   groups=self.groups,
-                                  dtype=self.dtype)(x, not train)
-        if self.kind == "groupnorm":
-            return nn.GroupNorm(num_groups=16, epsilon=1e-5,
-                                dtype=self.dtype)(x)
+                                  dtype=self.dtype)(x, not train,
+                                                    merged_z=merged_z)
         if self.kind == "instancenorm":
-            return instance_norm(x).astype(
+            return instance_norm(x, merged_z=merged_z).astype(
                 self.dtype if self.dtype is not None else x.dtype)
         if self.kind == "none":
             return x
+        if merged_z:
+            raise ValueError(
+                f"normalization {self.kind!r} has no merged-layout path")
+        if self.kind == "groupnorm":
+            return nn.GroupNorm(num_groups=16, epsilon=1e-5,
+                                dtype=self.dtype)(x)
         raise ValueError(f"unknown normalization {self.kind!r}")
 
 

@@ -37,6 +37,35 @@ from bcp_tpu.models.layers import (
 )
 
 
+def _stage_merged_z(x, features: int, normalization: str) -> int:
+    """Z extent to run a conv stage in the merged (z, c) lane layout, or
+    0 for the unmerged path.
+
+    Merged chains keep activations in the (B, X, Y, Z*C) layout across
+    every conv/norm/relu of the stage, entering the Pallas conv kernel
+    without per-call relayouts. Opt-in via BCP_MERGED_CHAINS=1: isolated
+    stage benchmarks win (L1 grad 48 -> 40 ms, L2 fwd 8.4 -> 6.2 on
+    v5e), but inside the fused train step the opaque pallas_calls
+    constrain XLA's layout assignment and the full step measured
+    *slower* (35.9 -> 30.0 patches/s) — kept for kernel development and
+    future XLA releases. Eligible when every conv of the stage is
+    Ci == Co == features and the Pallas tile plan exists; norms must
+    have a merged-layout path."""
+    import os
+    from bcp_tpu.ops import conv3d as _c3d
+    if os.environ.get("BCP_MERGED_CHAINS", "0") != "1":
+        return 0
+    if jax.default_backend() == "cpu":
+        return 0
+    if x.ndim != 5 or x.shape[-1] != features:
+        return 0
+    if normalization not in ("batchnorm", "instancenorm", "none"):
+        return 0
+    tiles = _c3d.pallas_conv_tiles(x.shape,
+                                   (3, 3, 3, features, features))
+    return x.shape[3] if tiles is not None else 0
+
+
 class ConvStage(nn.Module):
     """`ConvBlock` (`networks/VNet.py:6-32`): n x (3^3 conv -> norm -> relu)."""
     n_stages: int
@@ -47,14 +76,22 @@ class ConvStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from bcp_tpu.ops import conv3d as _c3d
+        mz = _stage_merged_z(x, self.features, self.normalization)
+        if mz:
+            x = _c3d.merge_zc(x)
         for i in range(self.n_stages):
-            # z-packed lowering for the MXU-starved low-channel stages
-            # (identical params + math; see layers.ZPackedConv3D)
+            # z-packed / merged-Pallas lowering for the MXU-starved
+            # low-channel stages (identical params + math; see
+            # layers.ZPackedConv3D)
             x = ZPackedConv3D(self.features, name=f"conv{i}",
-                              dtype=self.dtype)(x)
+                              dtype=self.dtype)(x, merged_z=mz)
             x = Norm(self.normalization, dtype=self.dtype,
-                     groups=self.groups, name=f"norm{i}")(x, train)
+                     groups=self.groups, name=f"norm{i}")(
+                x, train, merged_z=mz)
             x = nn.relu(x)
+        if mz:
+            x = _c3d.unmerge_zc(x, mz)
         return x
 
 
@@ -69,15 +106,23 @@ class ResidualConvStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from bcp_tpu.ops import conv3d as _c3d
+        mz = _stage_merged_z(x, self.features, self.normalization)
+        if mz:
+            x = _c3d.merge_zc(x)
         residual = x
         for i in range(self.n_stages):
             x = ZPackedConv3D(self.features, name=f"conv{i}",
-                              dtype=self.dtype)(x)
+                              dtype=self.dtype)(x, merged_z=mz)
             x = Norm(self.normalization, dtype=self.dtype,
-                     groups=self.groups, name=f"norm{i}")(x, train)
+                     groups=self.groups, name=f"norm{i}")(
+                x, train, merged_z=mz)
             if i != self.n_stages - 1:
                 x = nn.relu(x)
-        return nn.relu(x + residual)
+        x = nn.relu(x + residual)
+        if mz:
+            x = _c3d.unmerge_zc(x, mz)
+        return x
 
 
 class DownBlock(nn.Module):

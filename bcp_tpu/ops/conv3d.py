@@ -181,10 +181,25 @@ def _conv3x3x3_pallas(x: jax.Array, w: jax.Array, xt: int, zt: int,
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, yp - Y - 1), (1, zhi), (0, 0)))
     xp = xp.reshape(B, X + 2, yp, xp.shape[3] * Ci)
     wmat = _toeplitz_weights(w, G, x.dtype)
+    out = _pallas_call_merged(xp, wmat, Y, Z, Ci, Co, xt, zt, interpret)
+    return out.reshape(B, X, Y, Z, Co)
 
+
+def _pallas_call_merged(xp: jax.Array, wmat: jax.Array, Y: int, Z: int,
+                        Ci: int, Co: int, xt: int, zt: int,
+                        interpret: bool) -> jax.Array:
+    """Core pallas_call on an already padded+merged input.
+
+    xp: (B, X+2, Yp, Wz*Ci) halo-padded with the (z, ci) dims merged into
+    lanes; wmat: the z block-Toeplitz weight expansion. Returns the
+    merged output (B, X, Y, Z*Co)."""
+    B, Xp2, yp, _ = xp.shape
+    X = Xp2 - 2
+    G = _zgroup(Co)
+    wz = _z_window(zt, Ci)
     kernel = _make_kernel(xt, Y, yp, zt, wz, Ci, Co, G)
     flops = 2 * B * X * Y * Z * 27 * Ci * Co
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B, X // xt, Z // zt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
@@ -193,19 +208,18 @@ def _conv3x3x3_pallas(x: jax.Array, w: jax.Array, xt: int, zt: int,
             (1, xt, Y, zt * Co),
             lambda b, i, k: (b, i, 0, k),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z * Co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z * Co), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((xt + 2, yp, wz * Ci), x.dtype),
-            pltpu.VMEM((xt, Y, 9 * (G + 2) * Ci), x.dtype),
+            pltpu.VMEM((xt + 2, yp, wz * Ci), xp.dtype),
+            pltpu.VMEM((xt, Y, 9 * (G + 2) * Ci), xp.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            bytes_accessed=xp.size * xp.dtype.itemsize * 2,
             transcendentals=0),
         interpret=interpret,
     )(xp, wmat)
-    return out.reshape(B, X, Y, Z, Co)
 
 
 def pallas_conv_tiles(x_shape, w_shape) -> Optional[Tuple[int, int]]:
@@ -226,6 +240,183 @@ def pallas_conv_tiles(x_shape, w_shape) -> Optional[Tuple[int, int]]:
     if X < 2 or Z < 2:
         return None
     return _choose_tiles(X, Z, Ci, Co, Y)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("z", "xt", "zt", "interpret"))
+def _conv3x3x3_pallas_merged(xm: jax.Array, w: jax.Array, z: int,
+                             xt: int, zt: int,
+                             interpret: bool = False) -> jax.Array:
+    """Merged-layout entry: xm (B, X, Y, Z*Ci) with lanes ordered
+    (z, ci); returns (B, X, Y, Z*Co) lanes (z, co). The z halo pad is a
+    lane-dim pad of Ci low / (Wz-Zt-1)*Ci high — one fused XLA pad, no
+    (z, c) split/merge relayout anywhere in the chain."""
+    B, X, Y, ZCi = xm.shape
+    Ci = ZCi // z
+    Co = w.shape[-1]
+    G = _zgroup(Co)
+    wz = _z_window(zt, Ci)
+    yp = _round8(Y + 2)
+    zhi = wz - zt - 1
+    xp = jnp.pad(xm, ((0, 0), (1, 1), (1, yp - Y - 1),
+                      (Ci, zhi * Ci)))
+    wmat = _toeplitz_weights(w, G, xm.dtype)
+    return _pallas_call_merged(xp, wmat, Y, z, Ci, Co, xt, zt, interpret)
+
+
+def _make_dw_kernel(Xt: int, Y: int, Yp: int, Zt: int, Wz: int, Ci: int,
+                    Co: int, G: int):
+    """Weight-grad kernel: same im2col staging as the forward, then
+    acc += A^T @ dy_group. All grid programs map to the single output
+    block, which therefore stays VMEM-resident across the whole grid
+    (TPU grids run sequentially on one core)."""
+    M2 = Xt * Y
+    L0 = (G + 2) * Ci
+    n_groups = Zt // G
+
+    def kernel(xp_ref, dy_ref, out_ref, tile_ref, a_ref, sem):
+        b = pl.program_id(0)
+        gx = pl.program_id(1)
+        gz = pl.program_id(2)
+
+        @pl.when((b == 0) & (gx == 0) & (gz == 0))
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        copy = pltpu.make_async_copy(
+            xp_ref.at[b, pl.ds(gx * Xt, Xt + 2), slice(None),
+                      pl.ds(gz * Zt * Ci, Wz * Ci)],
+            tile_ref, sem)
+        copy.start()
+        copy.wait()
+        for g in range(n_groups):
+            base = g * G * Ci
+            for dx in range(3):
+                for dy in range(3):
+                    k = dx * 3 + dy
+                    a_ref[:, :, k * L0:(k + 1) * L0] = \
+                        tile_ref[dx:dx + Xt, dy:dy + Y,
+                                 base:base + L0]
+            a = a_ref[:].reshape(M2, 9 * L0)
+            dyg = dy_ref[0, :, :, g * G * Co:(g + 1) * G * Co] \
+                .reshape(M2, G * Co)
+            out_ref[...] += jax.lax.dot_general(
+                a, dyg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _fold_toeplitz_grad(wg: jax.Array, G: int, Ci: int,
+                        Co: int) -> jax.Array:
+    """Adjoint of `_toeplitz_weights`: (9*(G+2)*Ci, G*Co) ->
+    (3, 3, 3, Ci, Co) by summing the block-diagonal replicas."""
+    wg = wg.reshape(3, 3, G + 2, Ci, G, Co)
+    taps = []
+    for kz in range(3):
+        taps.append(sum(wg[:, :, zo + kz, :, zo, :] for zo in range(G)))
+    return jnp.stack(taps, axis=2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("z", "ci", "xt", "zt", "interpret"))
+def _conv3x3x3_dw_pallas(xm: jax.Array, dym: jax.Array, z: int,
+                         ci: int, xt: int, zt: int,
+                         interpret: bool = False) -> jax.Array:
+    """dw for the 3^3 SAME conv from merged-layout x and dy.
+
+    xm: (B, X, Y, Z*Ci) lanes (z, ci); dym: (B, X, Y, Z*Co) lanes
+    (z, co). Returns (3, 3, 3, Ci, Co) in f32. Replaces XLA's conv VJP
+    for dw, which at low channel counts lowers to a full-res reduction
+    fusion behind two layout copies (~14 ms of the LA train step for
+    the 16-feature conv alone, measured in a profiler trace on v5e)."""
+    B, X, Y, ZCi = xm.shape
+    Ci = ci
+    Co = dym.shape[-1] // z
+    G = _zgroup(Co)
+    wz = _z_window(zt, Ci)
+    yp = _round8(Y + 2)
+    zhi = wz - zt - 1
+    xp = jnp.pad(xm, ((0, 0), (1, 1), (1, yp - Y - 1),
+                      (Ci, zhi * Ci)))
+    kernel = _make_dw_kernel(xt, Y, yp, zt, wz, Ci, Co, G)
+    wg = pl.pallas_call(
+        kernel,
+        grid=(B, X // xt, z // zt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((1, xt, Y, zt * Co),
+                               lambda b, i, k: (b, i, 0, k),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (9 * (G + 2) * Ci, G * Co),
+            lambda b, i, k: (0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (9 * (G + 2) * Ci, G * Co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((xt + 2, yp, wz * Ci), xm.dtype),
+            pltpu.VMEM((xt, Y, 9 * (G + 2) * Ci), xm.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * X * Y * z * 9 * (G + 2) * Ci * G * Co // G,
+            bytes_accessed=(xm.size + dym.size) * xm.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, dym)
+    return _fold_toeplitz_grad(wg, G, Ci, Co)
+
+
+def merge_zc(x: jax.Array) -> jax.Array:
+    """(B, X, Y, Z, C) -> (B, X, Y, Z*C). One relayout copy on TPU (the
+    (8, 128) tiling moves from (Z, C) to (Y, Z*C)); chains pay it once at
+    stage entry instead of inside every conv."""
+    B, X, Y, Z, C = x.shape
+    return x.reshape(B, X, Y, Z * C)
+
+
+def unmerge_zc(xm: jax.Array, z: int) -> jax.Array:
+    """(B, X, Y, Z*C) -> (B, X, Y, Z, C) (inverse relayout)."""
+    B, X, Y, ZC = xm.shape
+    return xm.reshape(B, X, Y, z, ZC // z)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv3x3x3_merged(xm: jax.Array, w: jax.Array, z: int,
+                     tiles: Tuple[int, int],
+                     interpret: bool = False) -> jax.Array:
+    """Merged-layout 3^3 SAME conv: dx re-enters the merged kernel with
+    flipped/transposed weights (stays merged end-to-end); dw unmerges
+    once and uses XLA's conv VJP (a weight-sized reduction where XLA's
+    lowering is fine)."""
+    return _conv3x3x3_pallas_merged(xm, w, z, tiles[0], tiles[1],
+                                    interpret)
+
+
+def _merged_fwd(xm, w, z, tiles, interpret):
+    return conv3x3x3_merged(xm, w, z, tiles, interpret), (xm, w)
+
+
+def _merged_bwd(z, tiles, interpret, res, dym):
+    xm, w = res
+    Ci = xm.shape[-1] // z
+    Co = w.shape[-1]
+    wt = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dym = dym.astype(xm.dtype)
+    dx_tiles = pallas_conv_tiles(
+        (xm.shape[0], xm.shape[1], xm.shape[2], z, Co),
+        (3, 3, 3, Co, Ci))
+    if dx_tiles is not None:
+        dxm = _conv3x3x3_pallas_merged(dym, wt, z, dx_tiles[0],
+                                       dx_tiles[1], interpret)
+    else:
+        dxm = merge_zc(_direct(unmerge_zc(dym, z), wt))
+    dw = _conv3x3x3_dw_pallas(xm, dym, z, Ci, tiles[0], tiles[1],
+                              interpret).astype(w.dtype)
+    return dxm, dw
+
+
+conv3x3x3_merged.defvjp(_merged_fwd, _merged_bwd)
 
 
 def _fwd_impl(x, w, tiles, interpret):
@@ -263,8 +454,10 @@ def _conv_bwd(tiles, interpret, res, dy):
         dx = _fwd_impl(dy, wt, dx_tiles, interpret)
     else:
         dx = _direct(dy, wt)
-    _, dw_vjp = jax.vjp(lambda wv: _direct(x, wv), w)
-    dw, = dw_vjp(dy)
+    z = x.shape[3]
+    dw = _conv3x3x3_dw_pallas(merge_zc(x), merge_zc(dy), z,
+                              x.shape[-1], tiles[0], tiles[1],
+                              interpret).astype(w.dtype)
     return dx, dw
 
 

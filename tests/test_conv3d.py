@@ -61,3 +61,107 @@ def test_tile_plan_rejects_unalignable_shapes():
     # Z not divisible by the z group
     assert conv3d.pallas_conv_tiles((1, 4, 8, 5, 16), (3, 3, 3, 16, 16)) \
         is None
+
+
+def test_merged_conv_matches_oracle():
+    B, X, Y, Z, Ci, Co = 2, 4, 8, 8, 16, 16
+    x, w = _case(B, X, Y, Z, Ci, Co)
+    tiles = conv3d.pallas_conv_tiles(x.shape, w.shape)
+    xm = conv3d.merge_zc(jnp.asarray(x))
+    ym = conv3d.conv3x3x3_merged(xm, jnp.asarray(w), Z, tiles, True)
+    out = conv3d.unmerge_zc(ym, Z)
+    ref = conv3d.reference_conv3x3x3(x, w)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_merged_conv_grads_match_direct():
+    B, X, Y, Z, Ci, Co = 1, 4, 8, 8, 16, 16
+    x, w = _case(B, X, Y, Z, Ci, Co)
+    tiles = conv3d.pallas_conv_tiles(x.shape, w.shape)
+
+    def loss_m(x, w):
+        ym = conv3d.conv3x3x3_merged(conv3d.merge_zc(x), w, Z, tiles,
+                                     True)
+        return (conv3d.unmerge_zc(ym, Z) ** 2).sum()
+
+    def loss_d(x, w):
+        return (conv3d._direct(x, w) ** 2).sum()
+
+    gm = jax.grad(loss_m, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    gd = jax.grad(loss_d, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    for a, b in zip(gm, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("co", [16, 32])
+def test_pallas_dw_matches_direct_vjp(co):
+    B, X, Y, Z, Ci = 1, 4, 8, 8, 16
+    x, w = _case(B, X, Y, Z, Ci, co)
+    tiles = conv3d.pallas_conv_tiles(x.shape, w.shape)
+    dy = np.random.default_rng(1).normal(
+        size=(B, X, Y, Z, co)).astype(np.float32)
+
+    dw_k = conv3d._conv3x3x3_dw_pallas(
+        conv3d.merge_zc(jnp.asarray(x)),
+        conv3d.merge_zc(jnp.asarray(dy)), Z, Ci, tiles[0], tiles[1],
+        True)
+    _, vjp = jax.vjp(lambda wv: conv3d._direct(jnp.asarray(x), wv),
+                     jnp.asarray(w))
+    dw_d, = vjp(jnp.asarray(dy))
+    np.testing.assert_allclose(np.asarray(dw_k), np.asarray(dw_d),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_merged_norms_match_unmerged():
+    from bcp_tpu.models.layers import TorchBatchNorm, instance_norm
+    key = jax.random.PRNGKey(0)
+    Z = 8
+    x = jax.random.normal(key, (4, 6, 8, Z, 16), jnp.float32)
+    xm = conv3d.merge_zc(x)
+    bn = TorchBatchNorm(groups=2)
+    v = bn.init(key, x, False)
+    y1, m1 = bn.apply(v, x, False, mutable=["batch_stats"])
+    y2m, m2 = bn.apply(v, xm, False, merged_z=Z,
+                       mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1),
+                               np.asarray(conv3d.unmerge_zc(y2m, Z)),
+                               rtol=1e-5, atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(m1["batch_stats"][k]),
+                                   np.asarray(m2["batch_stats"][k]),
+                                   rtol=1e-5, atol=1e-6)
+    y1e = bn.apply(v, x, True)
+    y2e = conv3d.unmerge_zc(bn.apply(v, xm, True, merged_z=Z), Z)
+    np.testing.assert_allclose(np.asarray(y1e), np.asarray(y2e),
+                               rtol=1e-6, atol=1e-6)
+    i1 = instance_norm(x)
+    i2 = conv3d.unmerge_zc(instance_norm(xm, merged_z=Z), Z)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_merged_stage_matches_unmerged_model(monkeypatch):
+    """Whole ConvStage through the merged chain (interpret kernels) ==
+    the unmerged z-packed path, params identical (checkpoint compat)."""
+    import bcp_tpu.models.vnet3d as v3
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 4, 8, 8, 16), jnp.float32)
+    stage = v3.ConvStage(2, 16, "batchnorm")
+    params = stage.init(key, x, False)
+
+    y_ref, _ = stage.apply(params, x, True, mutable=["batch_stats"])
+
+    # force the merged path on CPU: interpret-mode kernels
+    monkeypatch.setattr(v3, "_stage_merged_z",
+                        lambda xx, f, n: xx.shape[3])
+    orig_merged = conv3d.conv3x3x3_merged
+    monkeypatch.setattr(
+        conv3d, "conv3x3x3_merged",
+        lambda xm, w, z, tiles, interpret=False:
+        orig_merged(xm, w, z, tiles, True))
+    y_m, _ = stage.apply(params, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
