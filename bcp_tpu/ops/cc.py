@@ -72,11 +72,32 @@ def _neighbor_max(x: jax.Array, connectivity: int) -> jax.Array:
     return out
 
 
+def _axis_scan_max(lab: jax.Array, fg: jax.Array, axis: int) -> jax.Array:
+    """Segmented cummax along ``axis`` in both directions: the maximum
+    label floods an entire contiguous foreground run in one O(log n)
+    associative scan, instead of one voxel per neighbour-max sweep.
+    Labels never cross background (the scan resets at every background
+    voxel), so propagation stays within components."""
+    def comb(a, b):
+        v1, r1 = a
+        v2, r2 = b
+        return jnp.where(r2, v2, jnp.maximum(v1, v2)), r1 | r2
+
+    reset = ~fg
+    fwd, _ = jax.lax.associative_scan((lambda a, b: comb(a, b)),
+                                      (lab, reset), axis=axis)
+    bwd, _ = jax.lax.associative_scan((lambda a, b: comb(a, b)),
+                                      (lab, reset), axis=axis,
+                                      reverse=True)
+    return jnp.where(fg, jnp.maximum(fwd, bwd), 0)
+
+
 @partial(jax.jit, static_argnames=("connectivity", "inner_steps",
-                                   "jump_steps"))
+                                   "jump_steps", "scan_steps"))
 def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
                          inner_steps: int = 16,
-                         jump_steps: int = 0) -> jax.Array:
+                         jump_steps: int = 0,
+                         scan_steps: int = 0) -> jax.Array:
     """Label connected components of a binary mask (one sample, no batch).
 
     Returns int32 labels, 0 = background; component labels are arbitrary
@@ -99,10 +120,21 @@ def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
     mask on v5e); on CPU hosts the jumps are a ~4x win (601 ms vs 2101 ms
     on the same mask), so CPU callers may pass ``jump_steps=2``.
 
-    Exactness (either mode): the neighbour max only moves labels between
-    foreground neighbours, and a gathered label ``lab.flat[p]`` belongs to
-    a voxel (``p``) already proven connected — so labels never escape
-    their component, grow monotonically, and the fixpoint is the
+    ``scan_steps`` rounds of per-axis segmented cummax
+    (``_axis_scan_max``) run after the sweeps: each floods labels along
+    entire straight foreground runs, so convergence for a large convex
+    component needs O(1) rounds instead of O(diameter / inner_steps) —
+    sweep-only propagation on a batch of 8 smooth LA-sized masks
+    measured 184 ms on v5e, where large components force many rounds.
+    The convergence check still witnesses a full neighbour-max sweep
+    with the true connectivity (the sweeps run first in each round), so
+    the fixpoint is exact regardless of scan settings.
+
+    Exactness (all modes): the neighbour max only moves labels between
+    foreground neighbours, scans only flood within contiguous foreground
+    runs, and a gathered label ``lab.flat[p]`` belongs to a voxel
+    (``p``) already proven connected — so labels never escape their
+    component, grow monotonically, and the fixpoint is the
     per-component maximum seed.
     """
     if connectivity is None:
@@ -116,6 +148,9 @@ def connected_components(mask: jax.Array, connectivity: Optional[int] = None,
     def propagate(lab):
         for _ in range(inner_steps):
             lab = jnp.where(fg, _neighbor_max(lab, connectivity), 0)
+        for _ in range(scan_steps):
+            for ax in range(mask.ndim):
+                lab = _axis_scan_max(lab, fg, ax)
         flat = lab.ravel()
         for _ in range(jump_steps):
             parent = jnp.maximum(flat - 1, 0)
@@ -155,6 +190,17 @@ def _mode_by_sort(flat: jax.Array) -> jax.Array:
     return s[jnp.argmax(cand)]
 
 
+def _propagation_steps() -> tuple:
+    """(inner_steps, scan_steps) per backend. TPU: pure neighbour-max
+    sweeps (scans' log-depth strided passes measured 1.5-7x slower at LA
+    shapes on v5e). CPU: sweeps are miserable (22 s for one smooth
+    112^3 mask) — two sweeps + one scan round converge in 0.5 s, a ~47x
+    win, which also keeps the CPU-mesh test suite honest-fast."""
+    if jax.default_backend() == "cpu":
+        return 2, 1
+    return 16, 0
+
+
 @partial(jax.jit, static_argnames=("connectivity",))
 def largest_cc(mask: jax.Array,
                connectivity: Optional[int] = None) -> jax.Array:
@@ -174,7 +220,9 @@ def largest_cc(mask: jax.Array,
     (multi-object or near-tie masks) fall back to the exact full-size
     pass inside a ``lax.cond``.
     """
-    labels = connected_components(mask, connectivity)
+    inner, scans = _propagation_steps()
+    labels = connected_components(mask, connectivity,
+                                  inner_steps=inner, scan_steps=scans)
     sub = labels[tuple(slice(None, None, 2) for _ in range(labels.ndim))]
     cand = _mode_by_sort(sub.ravel())
     n_cand = jnp.sum((labels == cand) & (cand > 0))
@@ -199,8 +247,11 @@ def largest_cc_batch(masks: jax.Array,
     strict-majority component (and then for the whole batch, which is
     still exact)."""
     B = masks.shape[0]
+    inner, scans = _propagation_steps()
     labels = jax.vmap(
-        lambda m: connected_components(m, connectivity))(masks)
+        lambda m: connected_components(m, connectivity,
+                                       inner_steps=inner,
+                                       scan_steps=scans))(masks)
     sub = labels[(slice(None),) + tuple(
         slice(None, None, 2) for _ in range(labels.ndim - 1))]
     cand = jax.vmap(_mode_by_sort)(sub.reshape(B, -1))

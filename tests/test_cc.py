@@ -106,3 +106,18 @@ def test_get_multiclass_mask_per_class_nms():
     assert seg[0, 10, 10] == 0
     assert (seg[0, 0:4, 0:4] == 2).all()
     assert (seg[0, 6:8, 6:8] == 1).all()
+
+
+@pytest.mark.parametrize("connectivity", [1, 2, 3])
+def test_scan_mode_matches_scipy_partition(connectivity):
+    """scan_steps propagation (the CPU-default mode) produces the exact
+    scipy component partition, same as pure sweeps."""
+    m = _random_blobs((20, 18, 14), p=0.4, seed=7)
+    labels = np.asarray(cc.connected_components(
+        jnp.asarray(m), connectivity, inner_steps=2, scan_steps=1))
+    structure = ndi.generate_binary_structure(3, connectivity)
+    want_labels, want_n = ndi.label(m, structure=structure)
+    assert len(np.unique(labels[labels > 0])) == want_n
+    for lab in np.unique(labels[labels > 0]):
+        assert len(np.unique(want_labels[labels == lab])) == 1
+    assert (labels[m == 0] == 0).all()
