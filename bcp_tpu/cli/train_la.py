@@ -41,6 +41,12 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # resolve -1 ("all chips") before gating the cache: on a 1-chip host
+    # --num_devices -1 still trains single-device, where the HBM cache
+    # is valid and worth ~60% step time
+    import jax
+    resolved_devices = (jax.device_count() if args.num_devices == -1
+                        else args.num_devices)
     cfg = la_config(labelnum=args.labelnum).replace(
         root_path=args.root_path, exp=args.exp, net_type=args.model,
         pre_iterations=args.pre_max_iteration,
@@ -54,7 +60,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         num_devices=args.num_devices,
         device_data_cache=bool(args.device_data_cache)
-        and args.num_devices == 1)
+        and resolved_devices == 1)
     trainer = BCPTrainer(cfg)
     print("Starting BCP training.")
     if args.stage in ("both", "pre"):

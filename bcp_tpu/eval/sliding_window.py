@@ -101,7 +101,7 @@ class SlidingWindowEvaluator:
         # path needs the XLA loop's collective handling; CPU tests use
         # the XLA loop, which stays numerically identical)
         self._use_pallas = (mesh is None
-                            and jax.default_backend() != "cpu")
+                            and jax.default_backend() == "tpu")
         if self._use_pallas:
             # the kernel rolls along the (Y, Z*C) vector dims, so the
             # bucketed z extent must make Z*C a multiple of the 128-lane
@@ -186,7 +186,11 @@ class SlidingWindowEvaluator:
         device copy cached — the reference recomputes it per volume on
         device (`test_3d_patch.py:133`), a third of the scatter traffic.
         """
-        key = (padded, starts.shape[0], self.stride_xy, self.stride_z)
+        # key on the exact start grid: the last window per axis sits at
+        # dim - patch, so two volumes sharing a padded bucket, window
+        # count and strides can still have different grids (e.g. LA
+        # x-extents 140 vs 144 both bucket to 160 with 3 x-starts)
+        key = (padded, starts.tobytes())
         if key in self._cnt_cache:
             return self._cnt_cache[key]
         cnt = np.zeros(padded, np.float32)

@@ -45,10 +45,8 @@ def conv(features: int, kernel: Sequence[int], strides=None,
 
 _CONV3D_DN = ("NDHWC", "DHWIO", "NDHWC")
 
-
-def _direct_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
-    return jax.lax.conv_general_dilated(x, w, (1, 1, 1), "SAME",
-                                        dimension_numbers=_CONV3D_DN)
+# single definition of the direct 3^3 SAME lowering lives in ops/conv3d
+from bcp_tpu.ops.conv3d import _direct as _direct_conv3d  # noqa: E402
 
 
 def _pack_weight(w: jax.Array, z_tile: int) -> jax.Array:
@@ -172,7 +170,7 @@ class ZPackedConv3D(nn.Module):
             return ym + jnp.tile(bias.astype(dtype), merged_z)
         z = x.shape[3]
         tiles = None
-        if self.use_pallas and jax.default_backend() != "cpu":
+        if self.use_pallas and jax.default_backend() == "tpu":
             tiles = _c3d.pallas_conv_tiles(
                 x.shape, (3, 3, 3, ci, self.features))
         if tiles is not None:

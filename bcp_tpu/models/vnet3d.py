@@ -55,7 +55,7 @@ def _stage_merged_z(x, features: int, normalization: str) -> int:
     from bcp_tpu.ops import conv3d as _c3d
     if os.environ.get("BCP_MERGED_CHAINS", "0") != "1":
         return 0
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":   # Mosaic kernels are TPU-only
         return 0
     if x.ndim != 5 or x.shape[-1] != features:
         return 0

@@ -454,10 +454,13 @@ def _conv_bwd(tiles, interpret, res, dy):
         dx = _fwd_impl(dy, wt, dx_tiles, interpret)
     else:
         dx = _direct(dy, wt)
-    z = x.shape[3]
-    dw = _conv3x3x3_dw_pallas(merge_zc(x), merge_zc(dy), z,
-                              x.shape[-1], tiles[0], tiles[1],
-                              interpret).astype(w.dtype)
+    # dw via XLA's conv VJP, as documented above: substituting the Pallas
+    # dw kernel here measured 35.9 -> 24.1 patches/s on the full LA step
+    # (it fragments XLA's fused backward; see DESIGN.md "Negative
+    # results"). The kernel is used only by the merged-chain path, where
+    # activations are already in its layout.
+    _, dw_vjp = jax.vjp(lambda wv: _direct(x, wv), w)
+    dw, = dw_vjp(dy)
     return dx, dw
 
 

@@ -230,7 +230,11 @@ class BCPTrainer:
             batch = next(feeder)
             key = jax.random.fold_in(base_key, it)
             state, metrics = step_fn(state, batch, key)
-            if it % cfg.log_every == 0:
+            # the pancreas meters accumulate *every* step (their whole
+            # point is per-epoch averages incl. online train dice,
+            # `pancreas_utils.py:122-150`), so they force a metrics
+            # fetch regardless of log_every
+            if it % cfg.log_every == 0 or meters is not None:
                 host_metrics = {k: float(v) for k, v in
                                 jax.device_get(metrics).items()}
                 for k, v in self._metric_tags(stage, host_metrics).items():

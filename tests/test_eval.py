@@ -165,3 +165,32 @@ def test_slice2d_shapes():
     assert len(m) == 3 and all(len(t) == 2 for t in m)
     full, pred2 = ev.test_volume(variables, image, label)
     assert len(full) == 3 and all(len(t) == 4 for t in full)
+
+
+def test_count_map_not_reused_across_same_bucket_grids(small_vnet):
+    """Two volumes can share the padded bucket, window count, and strides
+    while having different window grids (the last start per axis sits at
+    dim - patch) — the cached count map must not cross over (regression:
+    the cache once keyed on (bucket, n_windows, strides) only)."""
+    model, variables = small_vnet
+    patch = (16, 16, 16)
+
+    def apply_fn(x):
+        logits, _ = model.apply(variables, jnp.asarray(x), train=False)
+        return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    ev = SlidingWindowEvaluator(model, patch, num_classes=2, stride_xy=6,
+                                stride_z=6, batch=4, bucket=(8, 8, 8))
+    rng = np.random.default_rng(2)
+    # x-extents 21 and 23 both bucket to 24 and both give
+    # ceil((x-16)/6)+1 = 2 x-starts: {0, 5} vs {0, 7}
+    for shape in [(21, 19, 21), (23, 19, 21)]:
+        image = rng.normal(size=shape).astype(np.float32)
+        want_label, want_score = _naive_sliding_window(
+            apply_fn, image, patch, stride_xy=6, stride_z=6,
+            num_classes=2)
+        got_label, got_score = ev.infer(variables, image)
+        np.testing.assert_allclose(
+            got_score, np.moveaxis(want_score, -1, 0),
+            rtol=1e-4, atol=1e-5, err_msg=f"shape {shape}")
+        np.testing.assert_array_equal(got_label, want_label)
