@@ -43,12 +43,18 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
-    from bcp_tpu.config import la_config
+    from bcp_tpu.config import acdc_config, la_config, pancreas_config
     from bcp_tpu.models import create_model
     from bcp_tpu.train import (build_optimizer, init_state,
                                make_selftrain_step)
 
-    cfg = la_config()  # real LA configuration (bf16 compute, f32 params)
+    # optional variant flag (driver contract: no args = LA metric)
+    variant = "la"
+    if len(sys.argv) > 2 and sys.argv[1] == "--variant":
+        variant = sys.argv[2]
+    cfg = {"la": la_config, "acdc": acdc_config,
+           "pancreas": pancreas_config}[variant]()
+    # real configuration (bf16 compute, f32 params)
     model = create_model(cfg.net_type, cfg.num_classes,
                          compute_dtype=jnp.bfloat16)
     tx = build_optimizer(cfg, "self")
@@ -61,8 +67,8 @@ def main():
     batch = {
         "img_a": jax.random.normal(ks[0], (sub, *S, 1), jnp.float32),
         "img_b": jax.random.normal(ks[1], (sub, *S, 1), jnp.float32),
-        "lab_a": jax.random.randint(ks[2], (sub, *S), 0, 2),
-        "lab_b": jax.random.randint(ks[3], (sub, *S), 0, 2),
+        "lab_a": jax.random.randint(ks[2], (sub, *S), 0, cfg.num_classes),
+        "lab_b": jax.random.randint(ks[3], (sub, *S), 0, cfg.num_classes),
         "uimg_a": jax.random.normal(ks[4], (usub, *S, 1), jnp.float32),
         "uimg_b": jax.random.normal(ks[5], (usub, *S, 1), jnp.float32),
     }
@@ -81,13 +87,20 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
 
     patches_per_sec = cfg.batch_size / dt
+    if variant == "la":
+        metric = ("3D patches/sec/chip (LA BCP self-train step, "
+                  "VNet 112x112x80 batch 8)")
+        vs = round(patches_per_sec / ASSUMED_BASELINE_PATCHES_PER_SEC, 3)
+    else:
+        shape = "x".join(str(s) for s in cfg.patch_size)
+        metric = (f"patches/sec/chip ({variant} BCP self-train step, "
+                  f"{cfg.net_type} {shape} batch {cfg.batch_size})")
+        vs = 0.0   # no derived baseline for the secondary pipelines
     result = {
-        "metric": "3D patches/sec/chip (LA BCP self-train step, "
-                  "VNet 112x112x80 batch 8)",
+        "metric": metric,
         "value": round(patches_per_sec, 3),
         "unit": "patches/s/chip",
-        "vs_baseline": round(
-            patches_per_sec / ASSUMED_BASELINE_PATCHES_PER_SEC, 3),
+        "vs_baseline": vs,
     }
     print(json.dumps(result))
 
