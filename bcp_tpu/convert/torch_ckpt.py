@@ -1,0 +1,215 @@
+"""torch -> flax checkpoint conversion for the reference's models.
+
+The reference's entire eval story starts from
+``model.load_state_dict(torch.load(path))`` (`code/test_LA.py:37`,
+`code/test_ACDC.py:32`, `code/pancreas/pancreas_utils.py:170-184`); this
+module makes those ``.pth`` files loadable into the flax re-implementations
+so a reference-trained checkpoint can be evaluated (or fine-tuned) on TPU.
+
+Weight-layout transforms:
+
+- ``nn.Conv{2,3}d`` weight ``(Co, Ci, *k)`` -> flax ``nn.Conv`` kernel
+  ``(*k, Ci, Co)``.
+- ``nn.ConvTranspose3d`` weight ``(Ci, Co, *k)`` -> flax
+  ``nn.ConvTranspose`` kernel ``(*k, Ci, Co)`` **with the spatial dims
+  flipped**: flax lowers through ``lax.conv_transpose(transpose_kernel=
+  False)`` (an un-flipped fractionally-strided correlation) while torch's
+  transposed conv is the conv adjoint; the flip reconciles them (verified
+  to 0 ulp in ``tests/test_convert.py``).
+- ``nn.BatchNorm*`` weight/bias/running_mean/running_var ->
+  ``TorchBatchNorm`` scale/bias + batch_stats mean/var.
+
+Name maps are generated structurally from the reference architectures
+(`networks/VNet.py:145-239`, `pancreas/Vnet.py:92-194`,
+`networks/unet.py:203-260`); the dead projection/prediction/contrastive
+heads carried by ``UNet_2d``/``VNet`` state_dicts (`networks/unet.py:214-
+236`) are skipped, and a ``module.`` DataParallel prefix (pancreas,
+`train_pancreas.py:36`) is stripped.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# torch state_dict suffixes for one BatchNorm module -> flax (collection,
+# leaf) destinations
+_BN_LEAVES = (
+    ("weight", "params", "scale"),
+    ("bias", "params", "bias"),
+    ("running_mean", "batch_stats", "mean"),
+    ("running_var", "batch_stats", "var"),
+)
+
+# reference state_dict prefixes that have no flax counterpart on purpose:
+# the dead contrastive machinery (`networks/unet.py:214-236`,
+# `networks/VNet.py:250-278`; SURVEY.md C24) and torch bookkeeping
+_DEAD_PREFIXES = (
+    "projection_head", "prediction_head", "contrastive_class_selector",
+    "branchs",   # MCNet-style multi-decoder zoo heads
+)
+
+
+def _conv_entry(tprefix: str, fpath: Tuple[str, ...], kind: str):
+    return (tprefix, fpath, kind)
+
+
+def _vnet_mapping(normalization: str = "batchnorm") -> List[tuple]:
+    """(torch module prefix, flax path, kind) for the reference V-Net
+    (`networks/VNet.py:145-239` and the identically-named pancreas variant
+    `pancreas/Vnet.py:92-194`).
+
+    Sequential indices inside each block step over [conv, norm, relu]
+    (norm present-but-parameterless for instancenorm, absent for 'none').
+    """
+    has_bn = normalization == "batchnorm"
+    step = 2 if normalization == "none" else 3
+    out: List[tuple] = []
+    stages = [("block_one", 1), ("block_two", 2), ("block_three", 3),
+              ("block_four", 3), ("block_five", 3), ("block_six", 3),
+              ("block_seven", 3), ("block_eight", 2), ("block_nine", 1)]
+    for blk, n in stages:
+        for i in range(n):
+            out.append(_conv_entry(f"{blk}.conv.{i * step}",
+                                   (blk, f"conv{i}"), "conv"))
+            if has_bn:
+                out.append((f"{blk}.conv.{i * step + 1}",
+                            (blk, f"norm{i}", "TorchBatchNorm_0"), "bn"))
+    for blk in ("block_one_dw", "block_two_dw", "block_three_dw",
+                "block_four_dw"):
+        out.append(_conv_entry(f"{blk}.conv.0", (blk, "conv"), "conv"))
+        if has_bn:
+            out.append((f"{blk}.conv.1",
+                        (blk, "norm", "TorchBatchNorm_0"), "bn"))
+    for blk in ("block_five_up", "block_six_up", "block_seven_up",
+                "block_eight_up"):
+        out.append(_conv_entry(f"{blk}.conv.0", (blk, "deconv"),
+                               "deconv"))
+        if has_bn:
+            out.append((f"{blk}.conv.1",
+                        (blk, "norm", "TorchBatchNorm_0"), "bn"))
+    out.append(_conv_entry("out_conv", ("out_conv",), "conv"))
+    return out
+
+
+def _unet2d_mapping() -> List[tuple]:
+    """(torch prefix, flax path, kind) for `UNet_2d`
+    (`networks/unet.py:203-260`; blocks `unet.py:15-58`).
+
+    ``conv_conv`` Sequential indices: 0 conv, 1 bn, (2 lrelu, 3 dropout),
+    4 conv, 5 bn.
+    """
+    out: List[tuple] = []
+
+    def conv_block(tprefix: str, fpath: Tuple[str, ...]):
+        for i, (ci, bi) in enumerate(((0, 1), (4, 5))):
+            out.append(_conv_entry(f"{tprefix}.conv_conv.{ci}",
+                                   fpath + (f"conv{i}",), "conv"))
+            out.append((f"{tprefix}.conv_conv.{bi}",
+                        fpath + (f"bn{i}",), "bn"))
+
+    conv_block("encoder.in_conv", ("in_conv",))
+    for k in range(1, 5):
+        conv_block(f"encoder.down{k}.maxpool_conv.1", (f"down{k}",))
+    for k in range(1, 5):
+        out.append(_conv_entry(f"decoder.up{k}.conv1x1",
+                               (f"up{k}", "conv1x1"), "conv"))
+        conv_block(f"decoder.up{k}.conv", (f"up{k}", "conv"))
+    out.append(_conv_entry("decoder.out_conv", ("out_conv",), "conv"))
+    return out
+
+
+_MAPPINGS = {
+    "VNet": lambda: _vnet_mapping("batchnorm"),
+    "VNet_pancreas": lambda: _vnet_mapping("instancenorm"),
+    "git_VNet": lambda: _vnet_mapping("none"),
+    "unet": _unet2d_mapping,
+}
+
+
+def _to_np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                      else t, dtype=np.float32)
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_state_dict(state_dict: Dict[str, "object"], net_type: str,
+                       strict: bool = True) -> Dict[str, dict]:
+    """Reference torch ``state_dict`` -> flax ``{"params", "batch_stats"}``.
+
+    ``strict`` verifies every non-dead torch tensor was consumed and every
+    mapped destination found its source.
+    """
+    if net_type not in _MAPPINGS:
+        raise KeyError(f"no torch mapping for net_type {net_type!r}; "
+                       f"have {sorted(_MAPPINGS)}")
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):       # nn.DataParallel wrapper
+            k = k[len("module."):]
+        sd[k] = v
+    used = set()
+    out: Dict[str, dict] = {"params": {}, "batch_stats": {}}
+    for tprefix, fpath, kind in _MAPPINGS[net_type]():
+        if kind in ("conv", "deconv"):
+            wk, bk = f"{tprefix}.weight", f"{tprefix}.bias"
+            if strict and wk not in sd:
+                raise KeyError(f"missing {wk} in torch checkpoint")
+            w = _to_np(sd[wk])
+            used.add(wk)
+            nsp = w.ndim - 2
+            if kind == "conv":
+                # (Co, Ci, *k) -> (*k, Ci, Co)
+                kernel = np.transpose(w, tuple(range(2, 2 + nsp)) + (1, 0))
+            else:
+                # (Ci, Co, *k) -> (*k, Ci, Co), spatially flipped (see
+                # module docstring)
+                kernel = np.flip(
+                    np.transpose(w, tuple(range(2, 2 + nsp)) + (0, 1)),
+                    axis=tuple(range(nsp))).copy()
+            _set(out["params"], fpath + ("kernel",), kernel)
+            if bk in sd:
+                _set(out["params"], fpath + ("bias",), _to_np(sd[bk]))
+                used.add(bk)
+        elif kind == "bn":
+            for suffix, col, leaf in _BN_LEAVES:
+                tk = f"{tprefix}.{suffix}"
+                if strict and tk not in sd:
+                    raise KeyError(f"missing {tk} in torch checkpoint")
+                _set(out[col], fpath + (leaf,), _to_np(sd[tk]))
+                used.add(tk)
+            used.add(f"{tprefix}.num_batches_tracked")
+        else:
+            raise ValueError(kind)
+    if strict:
+        leftovers = [k for k in sd if k not in used
+                     and not k.endswith("num_batches_tracked")
+                     and not k.startswith(_DEAD_PREFIXES)]
+        if leftovers:
+            raise ValueError(
+                f"unconsumed torch keys (first 10): {leftovers[:10]}")
+    return out
+
+
+def load_torch_checkpoint(path: str, net_type: str,
+                          strict: bool = True) -> Dict[str, dict]:
+    """Load a reference ``.pth`` and convert. Accepts the three on-disk
+    formats the reference writes: a raw ``state_dict`` (LA/ACDC,
+    `LA_BCP_train.py:287`), ``{'net': state_dict, ...}`` (pancreas,
+    `pancreas_utils.py:160-166`), and ``{'state_dict': ...}``."""
+    import torch
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "net" in blob and isinstance(
+            blob["net"], dict):
+        blob = blob["net"]
+    elif isinstance(blob, dict) and "state_dict" in blob and isinstance(
+            blob["state_dict"], dict):
+        blob = blob["state_dict"]
+    return convert_state_dict(blob, net_type, strict=strict)

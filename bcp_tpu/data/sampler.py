@@ -80,8 +80,12 @@ class ThreeStreamBatchSampler:
     permutation. Reproduced here, minus two reference bugs:
 
     - the generator expression unpacks into a shadowed ``primary_batch``
-      name twice (`dataset.py:332-333`), which is confusing but happens to
-      still yield the right tuple; here the three chunks are named.
+      name twice (`dataset.py:332-333`), so the name is last bound to the
+      THIRD zip element and the reference actually yields
+      ``chunk_b + secondary + chunk_b`` — the first labeled chunk is
+      consumed and dropped and both labeled sub-batches are identical.
+      This implementation deliberately yields the evidently-intended
+      disjoint ``(lab_a, unlab, lab_b)`` instead.
     - ``__len__`` claims ``len(primary) // primary_bs`` batches
       (`dataset.py:337-338`) but iteration actually exhausts the primary
       pass twice as fast; ``__len__`` here reports the real batch count.

@@ -71,6 +71,26 @@ def _unetr(class_num: int = 2, mode: str = "train", img_shape=(128, 128,
     return UNETR(n_classes=class_num, img_shape=img_shape, **kw)
 
 
+@register("unetr_dtc")
+def _unetr_dtc(class_num: int = 2, mode: str = "train",
+               img_shape=(128, 128, 128), **kw):
+    """`UNETR_DTC` (`networks/unetr.py:296-407`): UNETR with the dual-task
+    tanh level-set head; returns (out_tanh, out_seg)."""
+    return UNETR(n_classes=class_num, img_shape=img_shape, dtc=True, **kw)
+
+
+@register("git_VNet")
+def _git_vnet(class_num: int = 2, mode: str = "train",
+              normalization: str = "none", **kw):
+    """`git_VNet.VNet` (`networks/git_VNet.py:145-240`): identical
+    topology to the main V-Net (non-residual ConvBlocks, additive skips,
+    single seg output) with the normalization defaulting to 'none' and
+    dropout only when constructed with has_dropout=True — zoo model, no
+    reference entry point constructs it."""
+    return VNet3D(n_classes=class_num, normalization=normalization,
+                  has_dropout=kw.pop("has_dropout", False), **kw)
+
+
 def create_model(net_type: str, class_num: int, mode: str = "train",
                  compute_dtype=None, **kw):
     """``compute_dtype`` (e.g. jnp.bfloat16) enables mixed precision:

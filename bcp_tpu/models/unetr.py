@@ -132,6 +132,10 @@ class UNETR(nn.Module):
     num_layers: int = 12
     dropout: float = 0.1
     ext_layers: Sequence[int] = (3, 6, 9, 12)
+    # `UNETR_DTC` (`unetr.py:296-407`): adds a tanh dual-task head — the
+    # shared decoder feature feeds two parallel 1^3-conv headers,
+    # returning (tanh(header0), header00) like the DTC level-set variant.
+    dtc: bool = False
     dtype: object = None
 
     @nn.compact
@@ -194,9 +198,19 @@ class UNETR(nn.Module):
 
         z0 = ConvBNReLU(32, 3, dt, name="decoder0_a")(x, train)
         z0 = ConvBNReLU(64, 3, dt, name="decoder0_b")(z0, train)
-        y = jnp.concatenate([z0, z3], axis=-1)
-        y = ConvBNReLU(64, 3, dt, name="head_a")(y, train)
+        cat = jnp.concatenate([z0, z3], axis=-1)
+        y = ConvBNReLU(64, 3, dt, name="head_a")(cat, train)
         y = ConvBNReLU(64, 3, dt, name="head_b")(y, train)
         logits = conv(self.n_classes, (1, 1, 1), dtype=dt,
                       name="out_conv")(y)
+        if self.dtc:
+            # second header (`decoder00_header`, `unetr.py:379-384`);
+            # outputs ordered (out_tanh, out_seg) like the reference's
+            # `UNETR_DTC.forward` (`unetr.py:404-407`)
+            y2 = ConvBNReLU(64, 3, dt, name="head2_a")(cat, train)
+            y2 = ConvBNReLU(64, 3, dt, name="head2_b")(y2, train)
+            seg2 = conv(self.n_classes, (1, 1, 1), dtype=dt,
+                        name="out_conv2")(y2)
+            return (jnp.tanh(logits).astype(jnp.float32),
+                    seg2.astype(jnp.float32))
         return logits.astype(jnp.float32), z0

@@ -386,9 +386,10 @@ def conv3x3x3_merged(xm: jax.Array, w: jax.Array, z: int,
                      tiles: Tuple[int, int],
                      interpret: bool = False) -> jax.Array:
     """Merged-layout 3^3 SAME conv: dx re-enters the merged kernel with
-    flipped/transposed weights (stays merged end-to-end); dw unmerges
-    once and uses XLA's conv VJP (a weight-sized reduction where XLA's
-    lowering is fine)."""
+    flipped/transposed weights (stays merged end-to-end); dw uses the
+    Pallas ``A^T @ dy`` kernel (``_conv3x3x3_dw_pallas``) — the
+    activations are already in its merged layout, unlike the unmerged
+    path where dw stays on XLA's conv VJP (see ``_conv_bwd``)."""
     return _conv3x3x3_pallas_merged(xm, w, z, tiles[0], tiles[1],
                                     interpret)
 

@@ -237,8 +237,12 @@ class BCPTrainer:
             if it % cfg.log_every == 0 or meters is not None:
                 host_metrics = {k: float(v) for k, v in
                                 jax.device_get(metrics).items()}
-                for k, v in self._metric_tags(stage, host_metrics).items():
-                    writer.scalar(k, v, it)
+                # TB scalars keep the log_every cadence even when the
+                # pancreas meters force a per-step metrics fetch
+                if it % cfg.log_every == 0:
+                    for k, v in self._metric_tags(
+                            stage, host_metrics).items():
+                        writer.scalar(k, v, it)
             else:
                 host_metrics = None
             if stage == "self":

@@ -22,7 +22,6 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import jax
@@ -48,10 +47,14 @@ def main():
     from bcp_tpu.train import (build_optimizer, init_state,
                                make_selftrain_step)
 
-    # optional variant flag (driver contract: no args = LA metric)
-    variant = "la"
-    if len(sys.argv) > 2 and sys.argv[1] == "--variant":
-        variant = sys.argv[2]
+    # optional variant flag (driver contract: no args = LA metric);
+    # argparse so a mistyped flag fails loudly instead of silently
+    # benchmarking LA under the wrong label
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--variant", choices=("la", "acdc", "pancreas"),
+                    default="la")
+    variant = ap.parse_args().variant
     cfg = {"la": la_config, "acdc": acdc_config,
            "pancreas": pancreas_config}[variant]()
     # real configuration (bf16 compute, f32 params)

@@ -77,8 +77,37 @@ def test_unetr_train_mode_runs():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_unetr_dtc_two_heads():
+    """`UNETR_DTC` (`networks/unetr.py:296-407`): (out_tanh, out_seg)."""
+    model = create_model("unetr_dtc", class_num=2,
+                         img_shape=(32, 32, 32), embed_dim=32,
+                         patch_size=16, num_heads=2, num_layers=4,
+                         ext_layers=(1, 2, 3, 4))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x, train=False)
+    out_tanh, out_seg = model.apply(variables, x, train=False)
+    assert out_tanh.shape == out_seg.shape == (1, 32, 32, 32, 2)
+    assert float(jnp.abs(out_tanh).max()) <= 1.0          # tanh head
+    assert float(jnp.abs(out_seg).max()) > 0.0
+
+
+def test_git_vnet_factory_key():
+    """`git_VNet.VNet` (`networks/git_VNet.py:145-240`) maps onto VNet3D
+    (identical topology; normalization defaults to 'none')."""
+    model = create_model("git_VNet", class_num=2)
+    assert model.normalization == "none" and not model.has_dropout
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    logits, _ = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 16, 16, 16, 2)
+
+
 def test_zoo_registered():
     from bcp_tpu.models import MODEL_REGISTRY
     for name in ("unet", "VNet", "VNet_pancreas", "unet_3D",
-                 "unet_3D_dtc", "unetr"):
+                 "unet_3D_dtc", "unetr", "unetr_dtc", "git_VNet"):
         assert name in MODEL_REGISTRY
