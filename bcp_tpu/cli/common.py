@@ -18,19 +18,30 @@ def snapshot_dir(cfg: Config, stage_name: str) -> str:
     return os.path.join(cfg.snapshot_root, run, stage_name)
 
 
-def load_eval_variables(cfg: Config, ckpt_path: str):
+def load_eval_variables(cfg: Config, ckpt_path: str,
+                        torch_ckpt: str = None):
     """Build the eval-mode model + restore weights/BN stats from a saved
-    TrainState checkpoint (the `{model}_best_model` alias)."""
-    if not os.path.exists(ckpt_path):
-        raise SystemExit(
-            f"error: no checkpoint at {ckpt_path} — train the "
-            f"'{cfg.name}' pipeline first (or pass the matching "
-            f"--snapshot_root/--labelnum/--stage_name)")
+    TrainState checkpoint (the `{model}_best_model` alias), or — when
+    ``torch_ckpt`` is given — from a reference-trained torch ``.pth``
+    (the `model.load_state_dict(torch.load(...))` hand-off,
+    `code/test_LA.py:37`) via ``bcp_tpu.convert``."""
     dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
         cfg.compute_dtype).type
     extra = {"n_filters": cfg.n_filters} if cfg.n_filters else {}
     model = create_model(cfg.net_type, cfg.num_classes, mode="test",
                          compute_dtype=dtype, **extra)
+    if torch_ckpt:
+        from bcp_tpu.convert import load_torch_checkpoint
+        got = load_torch_checkpoint(torch_ckpt, cfg.net_type)
+        variables = {"params": got["params"]}
+        if got["batch_stats"]:
+            variables["batch_stats"] = got["batch_stats"]
+        return model, variables
+    if not os.path.exists(ckpt_path):
+        raise SystemExit(
+            f"error: no checkpoint at {ckpt_path} — train the "
+            f"'{cfg.name}' pipeline first (or pass the matching "
+            f"--snapshot_root/--labelnum/--stage_name)")
     x = jnp.zeros((1, *cfg.patch_size, cfg.in_channels), jnp.float32)
     init_vars = create_model(
         cfg.net_type, cfg.num_classes, mode="train",

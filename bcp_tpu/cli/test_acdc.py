@@ -28,6 +28,9 @@ def build_parser():
     p.add_argument("--num_classes", type=int, default=4)
     p.add_argument("--labelnum", type=int, default=3)
     p.add_argument("--stage_name", type=str, default="self_train")
+    # evaluate a reference-trained torch .pth directly (converted via
+    # bcp_tpu.convert.load_torch_checkpoint; overrides --snapshot_root)
+    p.add_argument("--torch_ckpt", type=str, default=None)
     p.add_argument("--snapshot_root", type=str, default="./model/BCP")
     # per-case float32 NIfTI dumps (spacing (1,1,10)) — the sitk writes of
     # `test_ACDC.py:70-78` (shipped commented-out there; live here)
@@ -41,7 +44,7 @@ def inference(args):
         num_classes=args.num_classes, snapshot_root=args.snapshot_root)
     snap = snapshot_dir(cfg, args.stage_name)
     ckpt = best_model_path(snap, cfg.net_type)
-    model, variables = load_eval_variables(cfg, ckpt)
+    model, variables = load_eval_variables(cfg, ckpt, torch_ckpt=args.torch_ckpt)
     print(f"init weight from {ckpt}")
 
     evaluator = Slice2DEvaluator(model, cfg.patch_size, cfg.num_classes)

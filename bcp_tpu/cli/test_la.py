@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--save_result", type=int, default=0)
     p.add_argument("--labelnum", type=int, default=4)
     p.add_argument("--stage_name", type=str, default="self_train")
+    # evaluate a reference-trained torch .pth directly (converted via
+    # bcp_tpu.convert.load_torch_checkpoint; overrides --snapshot_root)
+    p.add_argument("--torch_ckpt", type=str, default=None)
     p.add_argument("--snapshot_root", type=str, default="./model/BCP")
     p.add_argument("--stride_xy", type=int, default=18)
     p.add_argument("--stride_z", type=int, default=4)
@@ -54,7 +57,7 @@ def test_calculate_metric(args):
         patch_size=tuple(args.patch_size), n_filters=args.n_filters)
     snap = snapshot_dir(cfg, args.stage_name)
     ckpt = best_model_path(snap, cfg.net_type)
-    model, variables = load_eval_variables(cfg, ckpt)
+    model, variables = load_eval_variables(cfg, ckpt, torch_ckpt=args.torch_ckpt)
     print(f"init weight from {ckpt}")
 
     evaluator = SlidingWindowEvaluator(

@@ -25,6 +25,9 @@ def build_parser():
     p.add_argument("--data_root", type=str, default="./data/pancreas")
     p.add_argument("--label_percent", type=int, default=20)
     p.add_argument("--stage_name", type=str, default="self_train")
+    # evaluate a reference-trained torch .pth directly (converted via
+    # bcp_tpu.convert.load_torch_checkpoint; overrides --snapshot_root)
+    p.add_argument("--torch_ckpt", type=str, default=None)
     p.add_argument("--snapshot_root", type=str, default="./result/cutmix")
     p.add_argument("--stride_xy", type=int, default=16)
     p.add_argument("--stride_z", type=int, default=4)
@@ -41,7 +44,7 @@ def main(argv=None):
         root_path=args.data_root, snapshot_root=args.snapshot_root,
         stride_xy=args.stride_xy, stride_z=args.stride_z)
     ckpt = best_model_path(snapshot_dir(cfg, args.stage_name), cfg.net_type)
-    model, variables = load_eval_variables(cfg, ckpt)
+    model, variables = load_eval_variables(cfg, ckpt, torch_ckpt=args.torch_ckpt)
     print(f"init weight from {ckpt}")
 
     evaluator = SlidingWindowEvaluator(

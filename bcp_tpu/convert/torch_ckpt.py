@@ -55,41 +55,50 @@ def _conv_entry(tprefix: str, fpath: Tuple[str, ...], kind: str):
     return (tprefix, fpath, kind)
 
 
-def _vnet_mapping(normalization: str = "batchnorm") -> List[tuple]:
-    """(torch module prefix, flax path, kind) for the reference V-Net
-    (`networks/VNet.py:145-239` and the identically-named pancreas variant
-    `pancreas/Vnet.py:92-194`).
+def _vnet_mapping(normalization: str = "batchnorm",
+                  nested: bool = False) -> List[tuple]:
+    """(torch module prefix, flax path, kind) for the reference V-Net.
+
+    ``nested=True`` matches `networks/VNet.py:145-290` (the LA model),
+    whose blocks live under ``encoder.``/``decoder.`` submodules;
+    ``nested=False`` matches the flat layouts of `pancreas/Vnet.py:92-194`
+    and `networks/git_VNet.py:145-240`.
 
     Sequential indices inside each block step over [conv, norm, relu]
     (norm present-but-parameterless for instancenorm, absent for 'none').
     """
     has_bn = normalization == "batchnorm"
     step = 2 if normalization == "none" else 3
+    enc = "encoder." if nested else ""
+    dec = "decoder." if nested else ""
     out: List[tuple] = []
-    stages = [("block_one", 1), ("block_two", 2), ("block_three", 3),
-              ("block_four", 3), ("block_five", 3), ("block_six", 3),
-              ("block_seven", 3), ("block_eight", 2), ("block_nine", 1)]
-    for blk, n in stages:
+    stages = [(enc, "block_one", 1), (enc, "block_two", 2),
+              (enc, "block_three", 3), (enc, "block_four", 3),
+              (enc, "block_five", 3), (dec, "block_six", 3),
+              (dec, "block_seven", 3), (dec, "block_eight", 2),
+              (dec, "block_nine", 1)]
+    for pre, blk, n in stages:
         for i in range(n):
-            out.append(_conv_entry(f"{blk}.conv.{i * step}",
+            out.append(_conv_entry(f"{pre}{blk}.conv.{i * step}",
                                    (blk, f"conv{i}"), "conv"))
             if has_bn:
-                out.append((f"{blk}.conv.{i * step + 1}",
+                out.append((f"{pre}{blk}.conv.{i * step + 1}",
                             (blk, f"norm{i}", "TorchBatchNorm_0"), "bn"))
     for blk in ("block_one_dw", "block_two_dw", "block_three_dw",
                 "block_four_dw"):
-        out.append(_conv_entry(f"{blk}.conv.0", (blk, "conv"), "conv"))
+        out.append(_conv_entry(f"{enc}{blk}.conv.0", (blk, "conv"),
+                               "conv"))
         if has_bn:
-            out.append((f"{blk}.conv.1",
+            out.append((f"{enc}{blk}.conv.1",
                         (blk, "norm", "TorchBatchNorm_0"), "bn"))
     for blk in ("block_five_up", "block_six_up", "block_seven_up",
                 "block_eight_up"):
-        out.append(_conv_entry(f"{blk}.conv.0", (blk, "deconv"),
+        out.append(_conv_entry(f"{dec}{blk}.conv.0", (blk, "deconv"),
                                "deconv"))
         if has_bn:
-            out.append((f"{blk}.conv.1",
+            out.append((f"{dec}{blk}.conv.1",
                         (blk, "norm", "TorchBatchNorm_0"), "bn"))
-    out.append(_conv_entry("out_conv", ("out_conv",), "conv"))
+    out.append(_conv_entry(f"{dec}out_conv", ("out_conv",), "conv"))
     return out
 
 
@@ -120,11 +129,28 @@ def _unet2d_mapping() -> List[tuple]:
     return out
 
 
+def _vnet_pancreas_mapping(sd: Dict[str, "object"]) -> List[tuple]:
+    """`pancreas/Vnet.py:92-194`: flat blocks, except block_nine/out_conv
+    live in the single-entry ``branchs`` ModuleList —
+    ``branchs.0.0.conv.0`` is the block_nine conv and the 1^3 head sits at
+    index 1 (or 2 when the branch carries a Dropout3d,
+    `Vnet.py:124-135`); detected from the state_dict."""
+    out = [e for e in _vnet_mapping("instancenorm")
+           if e[1][0] not in ("block_nine", "out_conv")]
+    out.append(_conv_entry("branchs.0.0.conv.0",
+                           ("block_nine", "conv0"), "conv"))
+    head = 2 if "branchs.0.2.weight" in sd else 1
+    out.append(_conv_entry(f"branchs.0.{head}", ("out_conv",), "conv"))
+    return out
+
+
+# mapping factories take the (module.-stripped) state_dict so layouts that
+# depend on construction flags (pancreas dropout) can be detected
 _MAPPINGS = {
-    "VNet": lambda: _vnet_mapping("batchnorm"),
-    "VNet_pancreas": lambda: _vnet_mapping("instancenorm"),
-    "git_VNet": lambda: _vnet_mapping("none"),
-    "unet": _unet2d_mapping,
+    "VNet": lambda sd: _vnet_mapping("batchnorm", nested=True),
+    "VNet_pancreas": _vnet_pancreas_mapping,
+    "git_VNet": lambda sd: _vnet_mapping("none"),
+    "unet": lambda sd: _unet2d_mapping(),
 }
 
 
@@ -157,7 +183,7 @@ def convert_state_dict(state_dict: Dict[str, "object"], net_type: str,
         sd[k] = v
     used = set()
     out: Dict[str, dict] = {"params": {}, "batch_stats": {}}
-    for tprefix, fpath, kind in _MAPPINGS[net_type]():
+    for tprefix, fpath, kind in _MAPPINGS[net_type](sd):
         if kind in ("conv", "deconv"):
             wk, bk = f"{tprefix}.weight", f"{tprefix}.bias"
             if strict and wk not in sd:

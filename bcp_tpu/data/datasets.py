@@ -24,9 +24,29 @@ from bcp_tpu.config import Config
 from bcp_tpu.data import transforms
 
 
+#: vendored copies of the reference's `data_split/` lists (the exact
+#: case orders behind the paper's 8/80, 4/80 and 7-patient experiments);
+#: see bcp_tpu/data/splits/README.md
+VENDORED_SPLITS = os.path.join(os.path.dirname(__file__), "splits")
+
+
 def read_list(path: str) -> List[str]:
     with open(path, "r") as f:
         return [line.strip() for line in f if line.strip()]
+
+
+def _split_list_path(base_dir: str, name: str, dataset: str) -> str:
+    """Resolve a split list: the data root first (the reference's layout,
+    `dataloaders/dataset.py:96-102`), falling back to the vendored
+    `data_split/` copies so the published splits work without the user
+    recreating the list files."""
+    primary = os.path.join(base_dir, name)
+    if os.path.exists(primary):
+        return primary
+    vendored = os.path.join(VENDORED_SPLITS, dataset, name)
+    if os.path.exists(vendored):
+        return vendored
+    return primary   # let the open() error name the expected location
 
 
 def _read_h5(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -59,7 +79,7 @@ class LAHeartDataset:
     def __init__(self, base_dir: str, split: str = "train",
                  num: Optional[int] = None, cache: bool = True):
         self.base_dir = base_dir
-        list_path = os.path.join(base_dir, f"{split}.list")
+        list_path = _split_list_path(base_dir, f"{split}.list", "LA")
         self.cases = read_list(list_path)
         if num is not None:
             self.cases = self.cases[:num]
@@ -89,7 +109,8 @@ class ACDCDataset:
         self.split = split
         list_name = {"train": "train_slices.list", "val": "val.list",
                      "test": "test.list"}[split]
-        self.cases = read_list(os.path.join(base_dir, list_name))
+        self.cases = read_list(_split_list_path(base_dir, list_name,
+                                                "ACDC"))
         if num is not None and split == "train":
             self.cases = self.cases[:num]
         self._cache = _VolumeCache(cache)

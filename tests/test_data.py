@@ -1,6 +1,8 @@
 """Data layer tests: sampler composition, transforms, feeders over
 synthetic datasets in the reference on-disk layouts."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -177,3 +179,31 @@ def test_pancreas_reverse_dataset_order(pancreas_root):
     fwd = PancreasDataset(pancreas_root, "train_lab")
     rev = PancreasDataset(pancreas_root, "train_lab", reverse=True)
     assert fwd.case_path(0) == rev.case_path(len(fwd.rel_paths) - 1)
+
+
+def test_vendored_la_split_fallback(tmp_path):
+    """The vendored `data_split/LA` lists (reference
+    `data_split/LA/train.list:1-80`) load when --root_path lacks list
+    files, and the labelnum=8 labeled subset is their first 8 cases —
+    the exact 8/80 experiment of `LA_BCP_train.py:214-218`."""
+    from bcp_tpu.data.datasets import (LAHeartDataset, VENDORED_SPLITS,
+                                       read_list)
+    ds = LAHeartDataset(str(tmp_path), "train", cache=False)
+    vend = read_list(os.path.join(VENDORED_SPLITS, "LA", "train.list"))
+    assert len(ds.cases) == 80 and ds.cases == vend
+    # labeled subset = first labelnum cases (feed.py builds
+    # labeled = range(n_lab) over the dataset order)
+    assert ds.cases[:8] == vend[:8]
+    assert len(LAHeartDataset(str(tmp_path), "test", cache=False)) == 20
+    # a root that carries its own lists wins over the vendored ones
+    (tmp_path / "train.list").write_text("caseA\ncaseB\n")
+    assert LAHeartDataset(str(tmp_path), "train", cache=False).cases == \
+        ["caseA", "caseB"]
+
+
+def test_vendored_acdc_split_fallback(tmp_path):
+    from bcp_tpu.data.datasets import ACDCDataset
+    ds = ACDCDataset(str(tmp_path), "test", cache=False)
+    assert len(ds.cases) == 40          # `data_split/ACDC/test.list`
+    ds = ACDCDataset(str(tmp_path), "train", cache=False)
+    assert len(ds.cases) == 1312        # train_slices.list
