@@ -94,14 +94,14 @@ class SlidingWindowEvaluator:
                 mesh, PartitionSpec(mesh.axis_names[0]))
         else:
             self._replicated = self._batch_sharded = None
-        self._chunk_fns: Dict[Tuple[int, ...], callable] = {}
         self._volume_fns: Dict[Tuple[int, ...], callable] = {}
         self._cnt_cache: Dict[Tuple, jax.Array] = {}
-        # Pallas overlap-add kernel: single-device TPU only (the mesh
-        # path needs the XLA loop's collective handling; CPU tests use
-        # the XLA loop, which stays numerically identical)
-        self._use_pallas = (mesh is None
-                            and jax.default_backend() == "tpu")
+        # Pallas overlap-add kernel on any TPU topology: under a mesh the
+        # volume program runs per-device inside shard_map (each device
+        # scatters its own window shard into a local score map; one psum
+        # at the end), so the kernel sees ordinary single-device arrays.
+        # CPU tests use the XLA loop, which stays numerically identical.
+        self._use_pallas = jax.default_backend() == "tpu"
         if self._use_pallas:
             # the kernel rolls along the (Y, Z*C) vector dims, so the
             # bucketed z extent must make Z*C a multiple of the 128-lane
@@ -149,32 +149,51 @@ class SlidingWindowEvaluator:
 
         return jax.lax.fori_loop(0, starts.shape[0], body, score)
 
-    # -- jitted per-bucket-shape chunk processor (mesh path) ------------
-    def _chunk_fn(self, vol_shape: Tuple[int, ...]):
-        if vol_shape in self._chunk_fns:
-            return self._chunk_fns[vol_shape]
-        process = jax.jit(self._process_chunk)
-        self._chunk_fns[vol_shape] = process
-        return process
-
-    # -- jitted whole-volume processor (single-device path) -------------
+    # -- jitted whole-volume processor --------------------------------
     def _volume_fn(self, vol_shape: Tuple[int, ...], n_chunks: int):
         """One XLA program runs every window chunk of a volume via an
         inner ``fori_loop`` — on a tunneled/remote device the per-chunk
         dispatch round-trips add up (~13 sequential dispatches per LA
-        volume); fusing the loop removes all but one."""
+        volume); fusing the loop removes all but one.
+
+        Under a mesh the same program body runs per-device inside
+        ``shard_map``: the window grid is sharded over devices, each
+        device overlap-adds its shard into a zero-initialised local score
+        map (the Pallas kernel applies unchanged — no replicated-array
+        special cases), and one ``psum`` over ICI merges the partials.
+        This replaces the round-2 per-chunk path, which re-dispatched per
+        chunk and all-gathered window probs into every device's
+        replicated map (forfeiting the Pallas kernel entirely)."""
         key = (*vol_shape, n_chunks)
         if key in self._volume_fns:
             return self._volume_fns[key]
-        B = self.batch
+        # per-device windows per chunk (== self.batch on one device)
+        B = self.batch // (self.mesh.size if self.mesh is not None else 1)
 
-        @jax.jit
-        def process_all(variables, volume, starts, valid, score):
+        def run_chunks(variables, volume, starts, valid, score):
             def chunk(ci, sc):
                 s = jax.lax.dynamic_slice(starts, (ci * B, 0), (B, 3))
                 v = jax.lax.dynamic_slice(valid, (ci * B,), (B,))
                 return self._process_chunk(variables, volume, s, v, sc)
             return jax.lax.fori_loop(0, n_chunks, chunk, score)
+
+        if self.mesh is None:
+            process_all = jax.jit(run_chunks)
+        else:
+            from functools import partial
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            ax = self.mesh.axis_names[0]
+
+            @jax.jit
+            @partial(shard_map, mesh=self.mesh,
+                     in_specs=(P(), P(), P(ax), P(ax), P()),
+                     out_specs=P(),
+                     check_vma=False)
+            def process_all(variables, volume, starts, valid, score):
+                local = run_chunks(variables, volume, starts, valid,
+                                   score)
+                return jax.lax.psum(local, ax)
 
         self._volume_fns[key] = process_all
         return process_all
@@ -239,36 +258,33 @@ class SlidingWindowEvaluator:
 
         B = self.batch
         n = starts.shape[0]
+        # every chunk of the volume runs inside one jitted program
+        n_chunks = math.ceil(n / B)
+        pad_n = n_chunks * B - n
+        valid = np.concatenate([np.ones(n, np.float32),
+                                np.zeros(pad_n, np.float32)])
+        all_starts = np.concatenate(
+            [starts, np.zeros((pad_n, 3), np.int32)])
+        process_all = self._volume_fn(padded, n_chunks)
         if self.mesh is None:
-            # single device: run every chunk inside one jitted program
-            n_chunks = math.ceil(n / B)
-            pad_n = n_chunks * B - n
-            valid = np.concatenate([np.ones(n, np.float32),
-                                    np.zeros(pad_n, np.float32)])
-            all_starts = np.concatenate(
-                [starts, np.zeros((pad_n, 3), np.int32)])
-            process_all = self._volume_fn(padded, n_chunks)
-            score = process_all(variables, volume,
-                                jnp.asarray(all_starts),
-                                jnp.asarray(valid), score)
+            starts_dev = jnp.asarray(all_starts)
+            valid_dev = jnp.asarray(valid)
         else:
-            process = self._chunk_fn(padded)
-            for i in range(0, n, B):
-                chunk = starts[i:i + B]
-                valid = np.ones((len(chunk),), np.float32)
-                if len(chunk) < B:  # pad the tail chunk, mask it out
-                    pad_n = B - len(chunk)
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((pad_n, 3), np.int32)])
-                    valid = np.concatenate(
-                        [valid, np.zeros(pad_n, np.float32)])
-                # each device runs batch/mesh_size windows; the scatter
-                # into the replicated maps all-gathers the probs
-                chunk = jax.device_put(jnp.asarray(chunk),
+            # window-shard the grid: reorder (chunk, device, local) ->
+            # (device, chunk, local) so the axis-0 sharding hands each
+            # device its per-chunk sub-blocks in chunk order
+            size = self.mesh.size
+            loc = B // size
+            all_starts = (all_starts.reshape(n_chunks, size, loc, 3)
+                          .transpose(1, 0, 2, 3).reshape(-1, 3))
+            valid = (valid.reshape(n_chunks, size, loc)
+                     .transpose(1, 0, 2).reshape(-1))
+            starts_dev = jax.device_put(jnp.asarray(all_starts),
+                                        self._batch_sharded)
+            valid_dev = jax.device_put(jnp.asarray(valid),
                                        self._batch_sharded)
-                valid = jax.device_put(jnp.asarray(valid),
-                                       self._batch_sharded)
-                score = process(variables, volume, chunk, valid, score)
+        score = process_all(variables, volume, starts_dev, valid_dev,
+                            score)
 
         score = score / cnt[..., None]
         if rule == "argmax":

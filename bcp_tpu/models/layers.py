@@ -87,6 +87,8 @@ def _zpacked_fwd(x, w, z_tile):
     return _zpacked_conv3d(x, w, z_tile), (x, w)
 
 
+
+
 def _zpacked_bwd(z_tile, res, dy):
     # dw stays on XLA's conv VJP deliberately: swapping in the Pallas
     # A^T @ dy kernel (ops/conv3d._conv3x3x3_dw_pallas) measured 35.9 ->
@@ -99,6 +101,10 @@ def _zpacked_bwd(z_tile, res, dy):
     dy = dy.astype(x.dtype)
     wt = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     dx = _zpacked_conv3d(dy, wt, z_tile)
+    # (A third dw substitution — tap-wise dot_generals contracting the
+    # flattened (B,X,Y,Z) dim in the activations' native layout — also
+    # lost in-graph: 36.0 -> 30.5 patches/s on the full LA step, r3.
+    # See DESIGN.md "Negative results".)
     _, dw_vjp = jax.vjp(lambda wv: _direct_conv3d(x, wv), w)
     dw, = dw_vjp(dy)
     return dx, dw

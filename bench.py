@@ -33,6 +33,67 @@ WARMUP = 3
 ITERS = 10
 
 
+def eval_bench(variant: str):
+    """LA sliding-window inference bench (BASELINE.json configs[4];
+    reference counterpart `utils/test_3d_patch.py:82-141`, which runs one
+    window per batch-1 forward with two host<->device crossings each).
+
+    Measures end-to-end ``SlidingWindowEvaluator.infer`` — upload, window
+    gather, batched forward, overlap-add, normalize, label fetch — on a
+    240x200x96 volume (a representative large LA case; 15 x 12 x 5 = 900
+    windows at stride 18/4). Prints one JSON line in windows/s/chip.
+    """
+    import numpy as np
+    from bcp_tpu.config import la_config
+    from bcp_tpu.eval.sliding_window import (SlidingWindowEvaluator,
+                                             window_starts)
+    from bcp_tpu.models import create_model
+
+    assert variant == "la", "eval bench currently covers the LA config"
+    cfg = la_config()
+    dtype = jnp.bfloat16
+    model = create_model(cfg.net_type, cfg.num_classes, mode="test",
+                         compute_dtype=dtype)
+    x = jnp.zeros((1, *cfg.patch_size, cfg.in_channels), jnp.float32)
+    variables = create_model(
+        cfg.net_type, cfg.num_classes, mode="train",
+        compute_dtype=dtype).init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    variables = {k: variables[k] for k in ("params", "batch_stats")
+                 if k in variables}
+
+    evaluator = SlidingWindowEvaluator(
+        model, cfg.patch_size, cfg.num_classes, cfg.stride_xy,
+        cfg.stride_z, batch=cfg.eval_batch)
+    shape = (240, 200, 96)
+    vol = np.asarray(jax.random.normal(jax.random.PRNGKey(2), shape),
+                     np.float32)
+    n_windows = len(window_starts(shape, cfg.patch_size, cfg.stride_xy,
+                                  cfg.stride_z))
+    evaluator.infer(variables, vol, rule=cfg.eval_rule,
+                    return_score=False)          # warmup/compile
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        evaluator.infer(variables, vol, rule=cfg.eval_rule,
+                        return_score=False)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": (f"LA sliding-window eval (VNet "
+                   f"{'x'.join(map(str, cfg.patch_size))} windows, "
+                   f"stride {cfg.stride_xy}/{cfg.stride_z}, volume "
+                   f"{'x'.join(map(str, shape))}, batch "
+                   f"{cfg.eval_batch})"),
+        "value": round(n_windows / dt, 3),
+        "unit": "windows/s/chip",
+        # the reference publishes no inference throughput; no estimate
+        # is derived for it (its loop is batch-1 with per-window PCIe
+        # round-trips, `test_3d_patch.py:116-135`)
+        "vs_baseline": 0.0,
+    }))
+
+
 def main():
     # persistent XLA compile cache: the fused step's first compile is
     # minutes; subsequent bench runs hit the cache
@@ -54,7 +115,13 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--variant", choices=("la", "acdc", "pancreas"),
                     default="la")
-    variant = ap.parse_args().variant
+    ap.add_argument("--eval", action="store_true",
+                    help="benchmark sliding-window inference instead of "
+                         "the train step")
+    flags = ap.parse_args()
+    variant = flags.variant
+    if flags.eval:
+        return eval_bench(variant)
     cfg = {"la": la_config, "acdc": acdc_config,
            "pancreas": pancreas_config}[variant]()
     # real configuration (bf16 compute, f32 params)

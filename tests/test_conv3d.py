@@ -165,3 +165,46 @@ def test_merged_stage_matches_unmerged_model(monkeypatch):
     y_m, _ = stage.apply(params, x, True, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+# -- real-TPU guard (skipped on CPU CI; runs whenever a TPU is attached) --
+#
+# Decision recorded in DESIGN.md: the Pallas conv/dw kernels stay in-tree
+# as development infrastructure for the opt-in merged-chain path
+# (BCP_MERGED_CHAINS=1) — these tests keep them exact on the actual
+# Mosaic compiler, not just interpret mode.
+
+tpu_only = pytest.mark.skipif(jax.default_backend() != "tpu",
+                              reason="real-TPU Mosaic compile required")
+
+
+@tpu_only
+def test_pallas_conv_matches_oracle_on_tpu():
+    x, w = _case(2, 4, 8, 16, 16, 16, seed=3)
+    tiles = conv3d.pallas_conv_tiles(x.shape, w.shape)
+    assert tiles is not None
+    out = conv3d.conv3x3x3_same(jnp.asarray(x, jnp.float32),
+                                jnp.asarray(w, jnp.float32), tiles)
+    ref = conv3d.reference_conv3x3x3(x, w)
+    # MXU default precision routes f32 matmuls through bf16 passes:
+    # tolerance is bf16-input rounding of a K=432 dot (outputs O(1-5);
+    # measured max |err| 0.022 on v5e)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=5e-2)
+
+
+@tpu_only
+def test_pallas_dw_matches_vjp_on_tpu():
+    x, w = _case(1, 4, 8, 8, 16, 16, seed=4)
+    rng = np.random.default_rng(5)
+    dy = rng.normal(size=(1, 4, 8, 8, 16)).astype(np.float32)
+    tiles = conv3d.pallas_conv_tiles(x.shape, w.shape)
+    assert tiles is not None
+    xm = conv3d.merge_zc(jnp.asarray(x))
+    dym = conv3d.merge_zc(jnp.asarray(dy))
+    got = conv3d._conv3x3x3_dw_pallas(xm, dym, x.shape[3], 16,
+                                      tiles[0], tiles[1])
+    _, vjp = jax.vjp(lambda wv: conv3d._direct(jnp.asarray(x), wv),
+                     jnp.asarray(w))
+    ref, = vjp(jnp.asarray(dy))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -37,18 +37,80 @@ def test_dice_value():
     assert jaccard_binary(a, b) == pytest.approx(0.5)
 
 
-def test_surface_distances_offset_boxes():
-    # two identical cubes offset by 3 voxels along x: every border voxel of
-    # one is exactly 3 away from the other's border along x... only the
-    # leading/trailing faces differ; use flat slabs for an exact value.
-    a = np.zeros((20, 5, 5), bool); a[5:8] = True
-    b = np.zeros((20, 5, 5), bool); b[8:11] = True
-    # slabs of thickness 3: all voxels are border voxels. asd(a->b) =
-    # mean distance from a's voxels to b's border.
-    d = asd(a, b)
-    assert 0.9 < d < 2.1
-    h = hd95(a, b)
-    assert 2.0 <= h <= 3.1
+def test_surface_distances_exact_single_pixels():
+    """Single pixels: the whole mask is border; closed-form distances."""
+    a = np.zeros((8, 8), bool); a[0, 0] = True
+    b = np.zeros((8, 8), bool); b[3, 0] = True
+    assert asd(a, b) == 3.0            # one border pixel, distance 3
+    assert asd(b, a) == 3.0
+    assert hd95(a, b) == 3.0           # percentile of [3, 3]
+
+
+def test_surface_distances_exact_shifted_line():
+    """1-pixel-thick lines (all voxels are border under the conn-1
+    erosion): shifting by 4 makes every symmetric distance exactly 4."""
+    a = np.zeros((10, 10), bool); a[0:3, 0] = True
+    b = np.zeros((10, 10), bool); b[0:3, 4] = True
+    assert asd(a, b) == 4.0
+    assert hd95(a, b) == 4.0
+
+
+def test_surface_distances_exact_percentile_interpolation():
+    """Non-uniform multiset {0,1,2,3,3} + {0}: checks np.percentile's
+    linear interpolation exactly, like medpy's hd95 (`medpy.metric.binary
+    .hd95`: 95th of hstack(d(a->b), d(b->a)))."""
+    a = np.zeros((8, 8), bool)
+    for p in ((0, 0), (0, 1), (0, 2), (0, 3), (3, 0)):
+        a[p] = True
+    b = np.zeros((8, 8), bool); b[0, 0] = True
+    assert asd(a, b) == pytest.approx((0 + 1 + 2 + 3 + 3) / 5, abs=1e-12)
+    assert asd(b, a) == 0.0
+    # hstack -> sorted [0, 0, 1, 2, 3, 3]; idx = 0.95*5 = 4.75
+    expect = 3.0 + 0.75 * (3.0 - 3.0)
+    assert hd95(a, b) == pytest.approx(expect, abs=1e-12)
+
+
+def test_surface_distances_exact_diagonal_and_spacing():
+    """Euclidean (not chessboard) distances, and voxelspacing scaling
+    (the ACDC protocol passes spacing, `test_ACDC.py:86-91`)."""
+    a = np.zeros((6, 6), bool); a[0, 0] = True; a[2, 2] = True
+    b = np.zeros((6, 6), bool); b[0, 0] = True
+    assert asd(a, b) == pytest.approx(np.sqrt(8.0) / 2, abs=1e-12)
+    # anisotropic spacing (2, 1): the (2,2) pixel sits at physical (4, 2)
+    assert asd(a, b, voxelspacing=(2.0, 1.0)) == pytest.approx(
+        np.sqrt(4.0 ** 2 + 2.0 ** 2) / 2, abs=1e-12)
+
+
+def _brute_surface_distances(res: np.ndarray, ref: np.ndarray):
+    """Independent oracle: border sets by explicit 6-neighbourhood
+    inspection (zero-padded, = medpy's conn-1 erosion convention) and
+    exact pairwise Euclidean distances — no scipy EDT, no shared code
+    with the implementation."""
+    def border(m):
+        mp = np.pad(m, 1)
+        keep = np.ones_like(mp)
+        for ax in range(m.ndim):
+            keep &= np.roll(mp, 1, ax) & np.roll(mp, -1, ax)
+        interior = (mp & keep)[(slice(1, -1),) * m.ndim]
+        return np.argwhere(m & ~interior)
+    rb, fb = border(res), border(ref)
+    d = np.sqrt((((rb[:, None, :] - fb[None, :, :]) ** 2)
+                 .sum(-1)).min(1))
+    return d
+
+
+def test_surface_distances_match_brute_force_oracle():
+    """Thick nonconvex 3D blobs: hd95/asd equal an independently computed
+    pairwise-distance oracle to 1e-12 (EDT is exact on integer grids)."""
+    a = np.zeros((12, 12, 12), bool); a[2:9, 3:10, 2:7] = True
+    a[4:6, 1:4, 8:11] = True          # attached lobe -> nonconvex border
+    b = np.zeros((12, 12, 12), bool); b[4:11, 2:8, 4:10] = True
+    d1 = _brute_surface_distances(a, b)
+    d2 = _brute_surface_distances(b, a)
+    assert asd(a, b) == pytest.approx(d1.mean(), abs=1e-12)
+    assert asd(b, a) == pytest.approx(d2.mean(), abs=1e-12)
+    assert hd95(a, b) == pytest.approx(
+        np.percentile(np.hstack((d1, d2)), 95), abs=1e-12)
 
 
 def test_hd95_zero_for_identical():
