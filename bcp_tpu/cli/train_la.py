@@ -36,6 +36,9 @@ def build_parser():
     # HBM-resident dataset + on-device augmentation (single-chip only;
     # measured 317 vs 515 ms/iter wall-clock on v5e at LA shapes)
     p.add_argument("--device_data_cache", type=int, default=1)
+    # fuse K steps into one XLA dispatch (numerically identical; see
+    # Config.steps_per_dispatch). Requires eval_every % K == 0.
+    p.add_argument("--steps_per_dispatch", type=int, default=1)
     return p
 
 
@@ -60,7 +63,8 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         num_devices=args.num_devices,
         device_data_cache=bool(args.device_data_cache)
-        and resolved_devices == 1)
+        and resolved_devices == 1,
+        steps_per_dispatch=args.steps_per_dispatch)
     trainer = BCPTrainer(cfg)
     print("Starting BCP training.")
     if args.stage in ("both", "pre"):

@@ -54,6 +54,15 @@ class Config:
     # default and is required for multi-device sharding.
     device_data_cache: bool = False
 
+    # Fuse K consecutive train steps into ONE XLA program (lax.scan over
+    # leading-stacked batches): numerically identical to K dispatches
+    # (same per-step fold_in keys, batch stream and BN/EMA threading) but
+    # amortises the per-dispatch host/tunnel round-trips — on the
+    # tunneled v5e the K=1 loop exposes ~17 ms dispatch + fetch latency
+    # per iteration. LA single-device only; eval_every and the stage
+    # lengths must be multiples of K.
+    steps_per_dispatch: int = 1
+
     # ---- parallelism (SURVEY.md C28/C29): data-parallel 1-D device mesh.
     # The per-device batch stays the reference's `batch_size`; the global
     # batch and the labeled/unlabeled stream widths scale by num_devices

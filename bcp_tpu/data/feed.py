@@ -56,14 +56,22 @@ class BCPBatchFeeder:
     """
 
     def __init__(self, cfg: Config, stage: str, seed: Optional[int] = None,
-                 sharding=None, prefetch: int = 2, data_scale: int = 1):
+                 sharding=None, prefetch: int = 2, data_scale: int = 1,
+                 stack: int = 1):
         """``data_scale`` widens every stream by the data-parallel factor
         (global batch = reference batch x mesh size; parallel/mesh.py) —
-        epoch pacing shrinks accordingly."""
+        epoch pacing shrinks accordingly.
+
+        ``stack=K`` delivers K consecutive iterations' batches as one
+        leading-stacked pytree for the K-step fused train program
+        (`Config.steps_per_dispatch`): the index streams are consumed in
+        the exact K=1 order, so batch content per sub-step is identical —
+        only the host/device hand-off is amortised."""
         self.cfg = cfg
         self.stage = stage
         self.sharding = sharding
         self.scale = max(int(data_scale), 1)
+        self.stack = max(int(stack), 1)
         self.seed = cfg.seed if seed is None else seed
         self.rng = np.random.default_rng(self.seed)
         self.img_dtype = (ml_dtypes.bfloat16
@@ -229,11 +237,60 @@ class BCPBatchFeeder:
                 self.img_dtype)
         return batch
 
+    def _build_device_stacked(self):
+        """K iterations' crops in two device programs + one split/reshape
+        (vs 2K + K dispatches for K separate builds): concatenate the K
+        index draws (same stream order as K sequential ``_build_device``
+        calls, so per-sub-step content is identical), crop once, reshape
+        (K*n, ...) -> (K, n, ...) and split the streams in one jitted fn.
+        """
+        cfg, K = self.cfg, self.stack
+        if cfg.variant != "la":
+            raise ValueError("stacked device feed supports the LA "
+                             "pipeline (steps_per_dispatch > 1)")
+        lab_idx, unlab_idx = [], []
+        for _ in range(K):
+            li, ui = next(self._index_stream)
+            lab_idx += list(li)
+            unlab_idx += list(ui)
+        img, lab = self._store.sample_batch(lab_idx, self.rng,
+                                            rotflip=True)
+        uimg = None
+        if self.stage == "self":
+            uimg, _ = self._store.sample_batch(unlab_idx, self.rng,
+                                               rotflip=True)
+        if not hasattr(self, "_split_fn"):
+            sub, usub = cfg.labeled_sub_bs, cfg.unlabeled_sub_bs
+
+            @jax.jit
+            def split(img, lab, uimg):
+                n = img.shape[0] // K
+                img = img.reshape(K, n, *img.shape[1:])
+                lab = lab.reshape(K, n, *lab.shape[1:])
+                out = {"img_a": img[:, :sub], "img_b": img[:, sub:],
+                       "lab_a": lab[:, :sub], "lab_b": lab[:, sub:]}
+                if uimg is not None:
+                    nu = uimg.shape[0] // K
+                    u = uimg.reshape(K, nu, *uimg.shape[1:])
+                    out["uimg_a"] = u[:, :usub]
+                    out["uimg_b"] = u[:, usub:]
+                return out
+            self._split_fn = split
+        return self._split_fn(img, lab, uimg)
+
     def _worker(self):
         try:
             while not self._stop.is_set():
                 if self.cfg.device_data_cache:
-                    device_batch = self._build_device()
+                    device_batch = (self._build_device_stacked()
+                                    if self.stack > 1
+                                    else self._build_device())
+                elif self.stack > 1:
+                    hbs = [self._build() for _ in range(self.stack)]
+                    host_batch = {k: np.stack([b[k] for b in hbs])
+                                  for k in hbs[0]}
+                    device_batch = jax.device_put(host_batch,
+                                                  self.sharding)
                 else:
                     host_batch = self._build()
                     device_batch = jax.device_put(host_batch,

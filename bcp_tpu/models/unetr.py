@@ -136,6 +136,9 @@ class UNETR(nn.Module):
     # shared decoder feature feeds two parallel 1^3-conv headers,
     # returning (tanh(header0), header00) like the DTC level-set variant.
     dtc: bool = False
+    # transformer MLP width (`PositionwiseFeedForward` d_ff=2048,
+    # `unetr.py:104`); reduced in tests for compile time
+    d_ff: int = 2048
     dtype: object = None
 
     @nn.compact
@@ -164,8 +167,8 @@ class UNETR(nn.Module):
         h = tokens
         for i in range(self.num_layers):
             h = TransformerBlock(D, self.num_heads, self.dropout,
-                                 dtype=self.dtype, name=f"layer{i}")(
-                h, train)
+                                 d_ff=self.d_ff, dtype=self.dtype,
+                                 name=f"layer{i}")(h, train)
             if (i + 1) in self.ext_layers:
                 extracted.append(h)
         z3, z6, z9, z12 = [

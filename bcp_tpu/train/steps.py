@@ -124,8 +124,37 @@ def _canonical_batch(batch):
 # --------------------------------------------------------------------------
 # pre-train
 
+def _maybe_scan(body: Callable, n_steps: int) -> Callable:
+    """jit ``body(state, batch, key)`` — or, for ``n_steps > 1``, a
+    ``lax.scan`` of it over leading-stacked batches/keys (one XLA program
+    executes n_steps full updates; metrics come back leading-stacked).
+
+    The scanned program runs the same math as n_steps separate
+    dispatches — same per-step fold_in keys, same batch stream, same
+    sequential BN/EMA threading — it only amortises the per-dispatch
+    host/tunnel round-trips (`Config.steps_per_dispatch`). Equality is
+    up to cross-program float reassociation (a different XLA schedule;
+    ``tests/test_steps.py::test_steps_per_dispatch_identical``)."""
+    if n_steps == 1:
+        return partial(jax.jit, donate_argnums=(0,))(body)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def stepn(state: TrainState, batches, base_key, first_it):
+        """batches: leading-(n_steps)-stacked batch pytree. Per-step keys
+        are derived in-graph — fold_in(base_key, first_it + j) — exactly
+        as the n_steps=1 trainer loop derives them on the host."""
+        def scan_body(st, xs):
+            b, j = xs
+            key = jax.random.fold_in(base_key, first_it + j)
+            return body(st, b, key)
+        return jax.lax.scan(scan_body, state,
+                            (batches, jnp.arange(n_steps)))
+
+    return stepn
+
+
 def make_pretrain_step(model, tx: optax.GradientTransformation,
-                       cfg: Config) -> Callable:
+                       cfg: Config, n_steps: int = 1) -> Callable:
     """Labeled-only copy-paste supervised step."""
 
     def loss_fn(params, batch_stats, batch, mask, dropout_key):
@@ -163,7 +192,6 @@ def make_pretrain_step(model, tx: optax.GradientTransformation,
                     2.0 * inter / (pred.sum() + labf.sum() + 1e-6))
         return loss, (new_bs, metrics)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jax.Array],
              key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
         batch = _canonical_batch(batch)
@@ -177,14 +205,14 @@ def make_pretrain_step(model, tx: optax.GradientTransformation,
             step=state.step + 1, params=new_params, batch_stats=new_bs,
             opt_state=new_opt), metrics
 
-    return step
+    return _maybe_scan(step, n_steps)
 
 
 # --------------------------------------------------------------------------
 # self-train
 
 def make_selftrain_step(model, tx: optax.GradientTransformation,
-                        cfg: Config) -> Callable:
+                        cfg: Config, n_steps: int = 1) -> Callable:
     """Bidirectional copy-paste mean-teacher step (one XLA program)."""
     variant = cfg.variant
 
@@ -256,7 +284,6 @@ def make_selftrain_step(model, tx: optax.GradientTransformation,
         parts["loss"] = loss
         return loss, (new_bs, parts)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jax.Array],
              key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
         batch = _canonical_batch(batch)
@@ -307,4 +334,4 @@ def make_selftrain_step(model, tx: optax.GradientTransformation,
             teacher_params=new_teacher, teacher_batch_stats=new_teacher_bs,
             opt_state=new_opt), metrics
 
-    return step
+    return _maybe_scan(step, n_steps)

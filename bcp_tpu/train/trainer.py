@@ -22,6 +22,7 @@ import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from bcp_tpu.config import Config
@@ -197,12 +198,24 @@ class BCPTrainer:
                         "(global batch %d)", self.mesh.size,
                         cfg.batch_size * self.data_scale)
 
+        K = max(int(cfg.steps_per_dispatch), 1)
+        if K > 1:
+            if self.mesh is not None or cfg.variant != "la" \
+                    or not cfg.device_data_cache:
+                raise ValueError(
+                    "steps_per_dispatch > 1 requires the single-device "
+                    "LA pipeline with device_data_cache")
+            if cfg.eval_every % K or (max_iterations - int(state.step)) % K:
+                raise ValueError(
+                    f"eval_every ({cfg.eval_every}) and the remaining "
+                    f"iterations ({max_iterations - int(state.step)}) "
+                    f"must be multiples of steps_per_dispatch ({K})")
         if stage == "pre":
-            step_fn = make_pretrain_step(self.model, tx, cfg)
+            step_fn = make_pretrain_step(self.model, tx, cfg, n_steps=K)
         else:
-            step_fn = make_selftrain_step(self.model, tx, cfg)
+            step_fn = make_selftrain_step(self.model, tx, cfg, n_steps=K)
         feeder = BCPBatchFeeder(cfg, stage, sharding=self.sharding,
-                                data_scale=self.data_scale)
+                                data_scale=self.data_scale, stack=K)
         logger.info("%d iterations per epoch", feeder.steps_per_epoch)
 
         if cfg.debug_nans:
@@ -222,12 +235,20 @@ class BCPTrainer:
                                                   else 1))
         best_dice = resumed_best
         best_path = best_model_path(out_dir, cfg.net_type)
-        def emit_metrics(m_it: int, metrics) -> None:
-            """Fetch + log one step's metrics (TB scalars on the
+        def emit_metrics(first_it: int, metrics) -> None:
+            """Fetch + log metrics — one step's scalars, or a
+            steps_per_dispatch group's leading-stacked scalars, emitted
+            per sub-step exactly as K=1 would (TB scalars on the
             log_every cadence; pancreas meters every step,
             `pancreas_utils.py:122-150`)."""
-            host_metrics = {k: float(v) for k, v in
-                            jax.device_get(metrics).items()}
+            fetched = {k: np.atleast_1d(np.asarray(v)) for k, v in
+                       jax.device_get(metrics).items()}
+            n = len(next(iter(fetched.values())))
+            for j in range(n):
+                emit_one(first_it + j,
+                         {k: float(v[j]) for k, v in fetched.items()})
+
+        def emit_one(m_it: int, host_metrics) -> None:
             if m_it % cfg.log_every == 0:
                 for k, v in self._metric_tags(
                         stage, host_metrics).items():
@@ -248,52 +269,64 @@ class BCPTrainer:
                         mix_loss_unlab=host_metrics["loss_u"],
                         loss_all=host_metrics["loss"])
                 meters.log(epoch, m_it)
-            else:
+            elif m_it % cfg.log_every == 0:
                 logger.info("iteration %d : %s", m_it, " ".join(
                     f"{k}: {v:.4f}" for k, v in
                     sorted(host_metrics.items())))
 
         t0 = time.time()
         start = int(state.step)
-        pending = None   # (it, device metrics) awaiting fetch
-        for it in range(start + 1, max_iterations + 1):
-            if cfg.profile_dir and it == cfg.profile_steps[0] + start:
+        pending = None   # (first_it, device metrics) awaiting fetch
+        for itk in range(start + 1, max_iterations + 1, K):
+            it = itk + K - 1      # last sub-step of this dispatch group
+            if cfg.profile_dir and itk <= cfg.profile_steps[0] + start <= it:
                 jax.profiler.start_trace(cfg.profile_dir)
             batch = next(feeder)
-            key = jax.random.fold_in(base_key, it)
-            state, metrics = step_fn(state, batch, key)
-            # One-step-deferred metric processing: fetch step it-1's
-            # scalars only after step `it` is dispatched, so the
-            # host<->device round-trip overlaps device compute instead of
-            # serialising with it (the fetch is the only per-iteration
-            # sync; measured ~96 ms/iter of exposed latency on the
-            # tunneled v5e with log_every=1). Log *content* is identical
-            # to the reference's per-iteration prints — each line still
-            # carries its own step's values.
+            if K == 1:
+                key = jax.random.fold_in(base_key, itk)
+                state, metrics = step_fn(state, batch, key)
+            else:
+                # keys are derived in-graph: fold_in(base_key, itk + j)
+                state, metrics = step_fn(state, batch, base_key,
+                                          jnp.int32(itk))
+            # One-step-deferred metric processing: fetch the previous
+            # dispatch's scalars only after this one is dispatched, so
+            # the host<->device round-trip overlaps device compute
+            # instead of serialising with it (the fetch is the only
+            # per-iteration sync; measured ~96 ms/iter of exposed latency
+            # on the tunneled v5e with log_every=1). Log *content* is
+            # identical to the reference's per-iteration prints — each
+            # line still carries its own step's values.
             if pending is not None:
                 emit_metrics(*pending)
-            pending = ((it, metrics)
-                       if (it % cfg.log_every == 0 or meters is not None)
-                       else None)
+            want = (meters is not None
+                    or any((itk + j) % cfg.log_every == 0
+                           for j in range(K)))
+            pending = (itk, metrics) if want else None
             if stage == "self":
                 # computed + logged, never applied (reference parity —
                 # `LA_BCP_train.py:246,260`)
-                cw = cfg.consistency * float(
-                    sigmoid_rampup(it // 150, cfg.consistency_rampup))
-                if cfg.variant == "acdc":
-                    # `ACDC_BCP_train.py:395`
-                    writer.scalar("info/consistency_weight", cw, it)
-                else:
-                    # `LA_BCP_train.py:260`
-                    writer.scalar("Self/consistency", cw, it)
-            if cfg.profile_dir and it == cfg.profile_steps[1] + start:
+                for j in range(itk, it + 1):
+                    cw = cfg.consistency * float(
+                        sigmoid_rampup(j // 150, cfg.consistency_rampup))
+                    if cfg.variant == "acdc":
+                        # `ACDC_BCP_train.py:395`
+                        writer.scalar("info/consistency_weight", cw, j)
+                    else:
+                        # `LA_BCP_train.py:260`
+                        writer.scalar("Self/consistency", cw, j)
+            if cfg.profile_dir and itk <= cfg.profile_steps[1] + start <= it:
                 jax.profiler.stop_trace()
                 logger.info("profiler trace written to %s",
                             cfg.profile_dir)
 
-            if self.log_images and it % cfg.eval_every == 1:
+            if self.log_images and any(
+                    (itk + j) % cfg.eval_every == 1 for j in range(K)):
                 try:
-                    self._log_images(writer, state, batch, it, stage)
+                    img_batch = (batch if K == 1 else
+                                 jax.tree_util.tree_map(
+                                     lambda a: a[-1], batch))
+                    self._log_images(writer, state, img_batch, it, stage)
                 except Exception:
                     logger.exception("image logging failed")
 

@@ -51,7 +51,7 @@ def test_unet3d_nonresidual_param_reduction():
 def test_unetr_forward():
     model = UNETR(img_shape=(32, 32, 32), n_classes=2, embed_dim=32,
                   patch_size=16, num_heads=2, num_layers=4,
-                  ext_layers=(1, 2, 3, 4))
+                  d_ff=64, ext_layers=(1, 2, 3, 4))
     x = jnp.zeros((1, 32, 32, 32, 1))
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -66,7 +66,7 @@ def test_unetr_forward():
 def test_unetr_train_mode_runs():
     model = UNETR(img_shape=(32, 32, 32), n_classes=2, embed_dim=32,
                   patch_size=16, num_heads=2, num_layers=4,
-                  ext_layers=(1, 2, 3, 4))
+                  d_ff=64, ext_layers=(1, 2, 3, 4))
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 32, 1))
     variables = model.init(
         {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
@@ -82,7 +82,7 @@ def test_unetr_dtc_two_heads():
     model = create_model("unetr_dtc", class_num=2,
                          img_shape=(32, 32, 32), embed_dim=32,
                          patch_size=16, num_heads=2, num_layers=4,
-                         ext_layers=(1, 2, 3, 4))
+                         d_ff=64, ext_layers=(1, 2, 3, 4))
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 32, 1))
     variables = model.init(
         {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
