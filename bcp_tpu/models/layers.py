@@ -7,6 +7,7 @@ the MXU without layout transposes (SURVEY.md §7 hard-part 5).
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Sequence
 
 import jax
@@ -89,6 +90,38 @@ def _zpacked_fwd(x, w, z_tile):
 
 
 
+def _dw_via_packed(x: jax.Array, dy: jax.Array, z_tile: int,
+                   w_shape: Sequence[int]) -> jax.Array:
+    """Weight grad computed in the packed domain (opt-in BCP_DW_PACKED=1).
+
+    Transpose the z-packed forward w.r.t. its *packed* weight — the dw
+    contraction's output-feature dim is then ``z_tile*Cout = 128``, so it
+    fills the MXU lanes the direct conv VJP leaves padded — and fold the
+    block-Toeplitz placements back onto the (3,3,kz,Ci,Co) kernel
+    (transpose of ``_pack_weight``'s scatter). Term-identical to the
+    direct conv VJP up to float reassociation; costs one lane repack of
+    ``dy`` (16 -> 128 lanes) plus ``z_tile`` kernel-sized slice adds.
+    """
+    kz, ci, co = w_shape[2], w_shape[3], w_shape[4]
+    b, X, Y, Z, _ = dy.shape
+    zt = z_tile
+    dyp = dy.reshape(b, X, Y, Z // zt, zt * co)
+    wp_spec = jax.ShapeDtypeStruct(
+        (w_shape[0], w_shape[1], zt + kz - 1, ci, zt * co), x.dtype)
+
+    def conv_wp(wp):
+        return jax.lax.conv_general_dilated(
+            x, wp, (1, 1, zt), [(1, 1), (1, 1), (1, 1)],
+            dimension_numbers=_CONV3D_DN)
+
+    dwp, = jax.linear_transpose(conv_wp, wp_spec)(dyp)
+    dwp = dwp.reshape(w_shape[0], w_shape[1], zt + kz - 1, ci, zt, co)
+    dw = dwp[:, :, 0:kz, :, 0, :]
+    for zo in range(1, zt):
+        dw = dw + dwp[:, :, zo:zo + kz, :, zo, :]
+    return dw
+
+
 def _zpacked_bwd(z_tile, res, dy):
     # dw stays on XLA's conv VJP deliberately: swapping in the Pallas
     # A^T @ dy kernel (ops/conv3d._conv3x3x3_dw_pallas) measured 35.9 ->
@@ -105,8 +138,11 @@ def _zpacked_bwd(z_tile, res, dy):
     # flattened (B,X,Y,Z) dim in the activations' native layout — also
     # lost in-graph: 36.0 -> 30.5 patches/s on the full LA step, r3.
     # See DESIGN.md "Negative results".)
-    _, dw_vjp = jax.vjp(lambda wv: _direct_conv3d(x, wv), w)
-    dw, = dw_vjp(dy)
+    if os.environ.get("BCP_DW_PACKED", "0") == "1":
+        dw = _dw_via_packed(x, dy, z_tile, w.shape)
+    else:
+        _, dw_vjp = jax.vjp(lambda wv: _direct_conv3d(x, wv), w)
+        dw, = dw_vjp(dy)
     return dx, dw
 
 
@@ -179,8 +215,17 @@ class ZPackedConv3D(nn.Module):
         if self.use_pallas and jax.default_backend() == "tpu":
             tiles = _c3d.pallas_conv_tiles(
                 x.shape, (3, 3, 3, ci, self.features))
+        pad_lanes = int(os.environ.get("BCP_PAD_LANES", "0"))
         if tiles is not None:
             y = _c3d.conv3x3x3_same(x, w, tiles)
+        elif pad_lanes and self.features < pad_lanes:
+            # Experiment (opt-in): fill output lanes by zero-padding Cout
+            # instead of z-packing — no boundary repack copies, at the
+            # price of structurally-zero output lanes (2x at pad 32).
+            # Plain autodiff: dw's pad->slice transpose keeps grads exact.
+            wpad = jnp.pad(
+                w, ((0, 0),) * 4 + ((0, pad_lanes - self.features),))
+            y = _direct_conv3d(x, wpad)[..., :self.features]
         else:
             # lanes fill at z_tile*Cout = 128; larger tiles pay more
             # padded K

@@ -114,6 +114,24 @@ def test_pallas_dw_matches_direct_vjp(co):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_packed_domain_dw_matches_direct_vjp():
+    # Opt-in BCP_DW_PACKED path (layers._dw_via_packed): the weight grad
+    # computed by transposing the *packed* forward and folding the
+    # block-Toeplitz placements back must equal the direct conv VJP.
+    # (Kept opt-in: the XLA-TPU compile of the full train step with this
+    # path did not terminate — DESIGN.md "Negative results".)
+    from bcp_tpu.models import layers
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (2, 6, 6, 16, 16), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 3, 16, 16), jnp.float32) * 0.1
+    dy = jax.random.normal(k3, (2, 6, 6, 16, 16), jnp.float32)
+    dw_new = layers._dw_via_packed(x, dy, 8, w.shape)
+    _, vjp = jax.vjp(lambda wv: conv3d._direct(x, wv), w)
+    dw_direct, = vjp(dy)
+    np.testing.assert_allclose(np.asarray(dw_new), np.asarray(dw_direct),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_merged_norms_match_unmerged():
     from bcp_tpu.models.layers import TorchBatchNorm, instance_norm
     key = jax.random.PRNGKey(0)
