@@ -170,3 +170,69 @@ def test_convert_strict_rejects_wrong_model():
         convert_state_dict({}, "VNet")
     with pytest.raises(KeyError):
         convert_state_dict({}, "no_such_model")
+
+
+@pytest.mark.slow
+def test_reference_eval_loop_end_to_end_parity():
+    """Checkpoint-for-checkpoint output fidelity, end to end: the same
+    torch checkpoint pushed through the reference's *own* sliding-window
+    loop (`utils/test_3d_patch.py:82-141` ``test_single_case``, run on
+    torch-cpu) and through ``SlidingWindowEvaluator`` with the converted
+    weights must produce the same segmentation and averaged score map.
+    This exercises the whole eval stack — window grid, batching,
+    overlap-add, averaging, threshold rule — against the reference's
+    actual code, not a reimplementation of it."""
+    import types
+    import math as _math
+
+    # the reference module imports CUDA-era/absent deps at module level;
+    # stub the ones this environment lacks (none are used by
+    # test_single_case itself except torch)
+    for name, attrs in (("medpy", {}), ("medpy.metric", {}),
+                        ("nibabel", {}),
+                        ("skimage", {}), ("skimage.measure", {})):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for a, v in attrs.items():
+                setattr(mod, a, v)
+            sys.modules[name] = mod
+    sys.modules["skimage"].measure = sys.modules["skimage.measure"]
+    sys.modules["skimage.measure"].label = None  # unused here
+    sys.modules["medpy"].metric = sys.modules["medpy.metric"]
+
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self    # CPU shim
+    if not hasattr(np, "int"):                        # np.int removal
+        np.int = int
+    try:
+        t3p = _ref_module("utils/test_3d_patch.py", "ref_test_3d_patch")
+        ref = _ref_module("networks/VNet.py", "ref_vnet_e2e")
+        torch.manual_seed(7)
+        tmodel = ref.VNet(n_channels=1, n_classes=2,
+                          normalization="batchnorm", has_dropout=True)
+        tmodel.eval()
+        _randomize_bn_stats(tmodel, seed=7)
+
+        # smallest legal VNet patch is 48^3 (the kernel-3 maxpool on x5);
+        # 2x2x2 window grid keeps the torch-cpu side tractable
+        patch, sxy, sz = (48, 48, 48), 16, 8
+        image = np.random.default_rng(7).normal(
+            size=(64, 64, 56)).astype(np.float32)
+        ref_label, ref_score = t3p.test_single_case(
+            tmodel, image, sxy, sz, patch, num_classes=2)
+
+        variables = convert_state_dict(tmodel.state_dict(), "VNet")
+        fmodel = create_model("VNet", 2, mode="test")
+        from bcp_tpu.eval.sliding_window import SlidingWindowEvaluator
+        ev = SlidingWindowEvaluator(fmodel, patch, 2, sxy, sz, batch=4)
+        label, score = ev.infer(variables, image)
+
+        assert label.shape == ref_label.shape
+        # the reference accumulates only the class-1 prob (broadcast into
+        # both score channels, `test_3d_patch.py:130-133`); compare it to
+        # our class-1 average
+        np.testing.assert_allclose(score[1], ref_score[0],
+                                   atol=2e-4, rtol=2e-4)
+        assert (label == ref_label).all()
+    finally:
+        torch.Tensor.cuda = orig_cuda
