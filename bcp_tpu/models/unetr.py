@@ -139,14 +139,23 @@ class UNETR(nn.Module):
     # transformer MLP width (`PositionwiseFeedForward` d_ff=2048,
     # `unetr.py:104`); reduced in tests for compile time
     d_ff: int = 2048
+    # uniform scale on the decoder's channel widths; 1.0 reproduces the
+    # reference's hardcoded 512/256/128/64 plan (`unetr.py:222-296`),
+    # smaller values exist for cheap CI fixtures
+    width_scale: float = 1.0
     dtype: object = None
+
+    def _w(self, f: int) -> int:
+        return max(4, round(f * self.width_scale))
 
     @nn.compact
     def __call__(self, x: jax.Array,
                  train: bool = False) -> Tuple[jax.Array, jax.Array]:
         P, D = self.patch_size, self.embed_dim
         patch_dim = tuple(s // P for s in self.img_shape)
-        n_patches = int(jnp.prod(jnp.asarray(patch_dim)))
+        # static python arithmetic: jnp here would make n_patches a tracer
+        # under jit and break param-shape construction
+        n_patches = math.prod(patch_dim)
         raw = x
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -176,42 +185,44 @@ class UNETR(nn.Module):
 
         dt = self.dtype
 
-        # ---- U-Net decoder (`unetr.py:222-296`)
-        z12 = _deconv2x(512, dt, "decoder12_upsampler")(z12)
-        z9 = DeconvBlock(512, dt, name="decoder9")(z9, train)
+        # ---- U-Net decoder (`unetr.py:222-296`); channel plan scaled
+        # by width_scale (1.0 = the reference's hardcoded widths)
+        w = self._w
+        z12 = _deconv2x(w(512), dt, "decoder12_upsampler")(z12)
+        z9 = DeconvBlock(w(512), dt, name="decoder9")(z9, train)
         y = jnp.concatenate([z9, z12], axis=-1)
         for j, f in enumerate((512, 512, 512)):
-            y = ConvBNReLU(f, 3, dt, name=f"dec9_conv{j}")(y, train)
-        z9 = _deconv2x(256, dt, "decoder9_upsampler")(y)
+            y = ConvBNReLU(w(f), 3, dt, name=f"dec9_conv{j}")(y, train)
+        z9 = _deconv2x(w(256), dt, "decoder9_upsampler")(y)
 
-        z6 = DeconvBlock(512, dt, name="decoder6_a")(z6, train)
-        z6 = DeconvBlock(256, dt, name="decoder6_b")(z6, train)
+        z6 = DeconvBlock(w(512), dt, name="decoder6_a")(z6, train)
+        z6 = DeconvBlock(w(256), dt, name="decoder6_b")(z6, train)
         y = jnp.concatenate([z6, z9], axis=-1)
         for j, f in enumerate((256, 256)):
-            y = ConvBNReLU(f, 3, dt, name=f"dec6_conv{j}")(y, train)
-        z6 = _deconv2x(128, dt, "decoder6_upsampler")(y)
+            y = ConvBNReLU(w(f), 3, dt, name=f"dec6_conv{j}")(y, train)
+        z6 = _deconv2x(w(128), dt, "decoder6_upsampler")(y)
 
-        z3 = DeconvBlock(512, dt, name="decoder3_a")(z3, train)
-        z3 = DeconvBlock(256, dt, name="decoder3_b")(z3, train)
-        z3 = DeconvBlock(128, dt, name="decoder3_c")(z3, train)
+        z3 = DeconvBlock(w(512), dt, name="decoder3_a")(z3, train)
+        z3 = DeconvBlock(w(256), dt, name="decoder3_b")(z3, train)
+        z3 = DeconvBlock(w(128), dt, name="decoder3_c")(z3, train)
         y = jnp.concatenate([z3, z6], axis=-1)
         for j, f in enumerate((128, 128)):
-            y = ConvBNReLU(f, 3, dt, name=f"dec3_conv{j}")(y, train)
-        z3 = _deconv2x(64, dt, "decoder3_upsampler")(y)
+            y = ConvBNReLU(w(f), 3, dt, name=f"dec3_conv{j}")(y, train)
+        z3 = _deconv2x(w(64), dt, "decoder3_upsampler")(y)
 
-        z0 = ConvBNReLU(32, 3, dt, name="decoder0_a")(x, train)
-        z0 = ConvBNReLU(64, 3, dt, name="decoder0_b")(z0, train)
+        z0 = ConvBNReLU(w(32), 3, dt, name="decoder0_a")(x, train)
+        z0 = ConvBNReLU(w(64), 3, dt, name="decoder0_b")(z0, train)
         cat = jnp.concatenate([z0, z3], axis=-1)
-        y = ConvBNReLU(64, 3, dt, name="head_a")(cat, train)
-        y = ConvBNReLU(64, 3, dt, name="head_b")(y, train)
+        y = ConvBNReLU(w(64), 3, dt, name="head_a")(cat, train)
+        y = ConvBNReLU(w(64), 3, dt, name="head_b")(y, train)
         logits = conv(self.n_classes, (1, 1, 1), dtype=dt,
                       name="out_conv")(y)
         if self.dtc:
             # second header (`decoder00_header`, `unetr.py:379-384`);
             # outputs ordered (out_tanh, out_seg) like the reference's
             # `UNETR_DTC.forward` (`unetr.py:404-407`)
-            y2 = ConvBNReLU(64, 3, dt, name="head2_a")(cat, train)
-            y2 = ConvBNReLU(64, 3, dt, name="head2_b")(y2, train)
+            y2 = ConvBNReLU(w(64), 3, dt, name="head2_a")(cat, train)
+            y2 = ConvBNReLU(w(64), 3, dt, name="head2_b")(y2, train)
             seg2 = conv(self.n_classes, (1, 1, 1), dtype=dt,
                         name="out_conv2")(y2)
             return (jnp.tanh(logits).astype(jnp.float32),

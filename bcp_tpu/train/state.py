@@ -68,24 +68,40 @@ def init_state(model, cfg: Config, key: jax.Array,
                tx: optax.GradientTransformation,
                example_shape: Optional[tuple] = None) -> TrainState:
     """Initialise student == teacher (the reference loads both from the
-    same pre-train checkpoint, `LA_BCP_train.py:220-222`)."""
+    same pre-train checkpoint, `LA_BCP_train.py:220-222`).
+
+    The whole initialisation runs as ONE jitted program: eagerly,
+    ``model.init`` plus the two teacher tree-copies dispatch hundreds of
+    tiny one-off XLA programs (none persistently cacheable), which
+    dominates process start-up on slow hosts — measured ~10 s for even a
+    16^3 V-Net on the single-core CI host vs ~4 s compile (then ~0.1 s
+    from the persistent cache) for the fused program.
+    """
     if example_shape is None:
         example_shape = (1, *cfg.patch_size, cfg.in_channels)
-    x = jnp.zeros(example_shape, jnp.float32)
-    pkey, dkey = jax.random.split(key)
-    variables = model.init({"params": pkey, "dropout": dkey}, x, train=False)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
-    # Teacher gets distinct buffers (not aliases): the train step donates
-    # the whole state, and XLA rejects donating one buffer twice.
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
-        teacher_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
-        opt_state=tx.init(params),
-    )
+
+    def _init(key: jax.Array) -> TrainState:
+        x = jnp.zeros(example_shape, jnp.float32)
+        pkey, dkey = jax.random.split(key)
+        variables = model.init({"params": pkey, "dropout": dkey}, x,
+                               train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        # Teacher gets distinct buffers (not aliases): the train step
+        # donates the whole state, and XLA rejects donating one buffer
+        # twice. jnp.copy survives jit output buffer assignment (verified
+        # by the donated-step tests, which error loudly on aliasing).
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+            teacher_batch_stats=jax.tree_util.tree_map(jnp.copy,
+                                                       batch_stats),
+            opt_state=tx.init(params),
+        )
+
+    return jax.jit(_init)(key)
 
 
 def has_batch_stats(state: TrainState) -> bool:

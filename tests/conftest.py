@@ -23,4 +23,7 @@ jax.config.update("jax_platform_name", "cpu")
 # Persistent compile cache: the 3D-model compiles dominate suite runtime
 # (single-core CI hosts especially); cache everything non-trivial.
 jax.config.update("jax_compilation_cache_dir", "/tmp/bcp_tpu_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+# Persist nearly everything: deserializing an entry is milliseconds, so
+# even 0.1 s compiles are worth caching on this host; only the per-op
+# eager dispatches (untraceably many, sub-0.05 s) stay uncached.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)

@@ -35,7 +35,7 @@ def test_la_converges(tmp_path_factory):
         root_path=root, patch_size=(32, 32, 16), n_filters=4,
         compute_dtype="float32",
         batch_size=8, labeled_bs=4, max_samples=8,
-        pre_iterations=120, self_iterations=60, eval_every=60,
+        pre_iterations=90, self_iterations=45, eval_every=45,
         stride_xy=16, stride_z=8, eval_batch=4,
         snapshot_root=str(tmp_path_factory.mktemp("la_conv_snap")))
     trainer = BCPTrainer(cfg)
@@ -69,13 +69,13 @@ def test_acdc_converges(tmp_path_factory):
 def test_pancreas_converges(tmp_path_factory):
     root = synthetic.make_pancreas_dataset(
         str(tmp_path_factory.mktemp("panc_conv")), n_lab=4, n_unlab=6,
-        n_test=2, shape=(40, 40, 40), seed=5)
+        n_test=2, shape=(40, 40, 28), seed=5)
     cfg = pancreas_config().replace(
-        root_path=root, patch_size=(32, 32, 32), mask_patch=16,
+        root_path=root, patch_size=(32, 32, 16), mask_patch=16,
         n_filters=4, compute_dtype="float32", batch_size=8, labeled_bs=4,
         labeled_oversample=2,
-        pre_iterations=120, self_iterations=60, eval_every=60,
-        stride_xy=16, stride_z=16, eval_batch=4,
+        pre_iterations=100, self_iterations=50, eval_every=50,
+        stride_xy=16, stride_z=8, eval_batch=4,
         snapshot_root=str(tmp_path_factory.mktemp("panc_conv_snap")))
     trainer = BCPTrainer(cfg)
     d0 = _init_dice(trainer, cfg)
@@ -96,9 +96,9 @@ def test_train_dice_metric_rises(tmp_path_factory):
 
     root = synthetic.make_pancreas_dataset(
         str(tmp_path_factory.mktemp("panc_meter")), n_lab=4, n_unlab=4,
-        n_test=1, shape=(36, 36, 36), seed=6)
+        n_test=1, shape=(36, 36, 28), seed=6)
     cfg = pancreas_config().replace(
-        root_path=root, patch_size=(32, 32, 32), mask_patch=16,
+        root_path=root, patch_size=(32, 32, 16), mask_patch=16,
         n_filters=4, compute_dtype="float32", batch_size=8, labeled_bs=4,
         labeled_oversample=2)
     from bcp_tpu.models import create_model
