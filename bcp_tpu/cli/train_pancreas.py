@@ -30,6 +30,9 @@ def build_parser():
     # (the reference's nn.DataParallel over 2 GPUs,
     # `pancreas/dataloaders.py:12-19`)
     p.add_argument("--num_devices", type=int, default=1)
+    p.add_argument("--sp_devices", type=int, default=1,
+                   help="shard volumes' leading spatial axis over this "
+                        "many of the num_devices chips (XLA halo exchange)")
     return p
 
 
@@ -40,7 +43,8 @@ def main(argv=None):
         batch_size=4 * args.batch_size, labeled_bs=2 * args.batch_size,
         snapshot_root=args.snapshot_root,
         compute_dtype=args.compute_dtype,
-        num_devices=args.num_devices)
+        num_devices=args.num_devices,
+        sp_devices=args.sp_devices)
     # epoch -> iteration conversion happens against the actual list sizes
     trainer = BCPTrainer(cfg)
     from bcp_tpu.data.feed import BCPBatchFeeder

@@ -68,6 +68,13 @@ class Config:
     # batch and the labeled/unlabeled stream widths scale by num_devices
     # (parallel/mesh.py). 1 = single device; -1 = every visible device.
     num_devices: int = 1
+    # Spatial partitioning: shard every volume's leading spatial axis
+    # over a second 'space' mesh axis of this size (must divide
+    # num_devices and the patch's x extent). XLA SPMD inserts the conv
+    # halo exchanges and psums the BN statistics — use when one chip's
+    # HBM can't hold the activations of a large patch. The global batch
+    # scales by num_devices // sp_devices only.
+    sp_devices: int = 1
 
     # ---- optimisation
     optimizer: str = "sgd"              # 'sgd' | 'adam'

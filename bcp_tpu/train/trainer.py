@@ -48,14 +48,18 @@ class BCPTrainer:
     device mesh: state replicated, every feed stream batch-sharded, eval
     windows sharded over the same mesh; the per-device batch stays the
     reference's and the global batch scales with the mesh
-    (parallel/mesh.py). An explicit ``sharding`` (NamedSharding over the
-    batch axis) may be passed instead of ``cfg.num_devices``."""
+    (parallel/mesh.py). ``cfg.sp_devices`` > 1 additionally shards every
+    volume's leading spatial axis over a second ``space`` mesh axis (XLA
+    inserts the conv halo exchanges) — the global batch then scales by
+    ``num_devices // sp_devices`` only. An explicit ``sharding``
+    (NamedSharding over the batch axis) may be passed instead of
+    ``cfg.num_devices``."""
 
     def __init__(self, cfg: Config, snapshot_root: Optional[str] = None,
                  sharding=None, log_images: bool = False):
         self.cfg = cfg
         self.log_images = log_images
-        from bcp_tpu.parallel import data_sharding, make_mesh
+        from bcp_tpu.parallel import make_mesh, stream_sharding
         self.mesh = None
         self.sharding = None
         if sharding is not None:
@@ -69,9 +73,10 @@ class BCPTrainer:
                     f"num_devices={n} but only {jax.device_count()} "
                     f"devices are visible")
             if n > 1:
-                self.mesh = make_mesh(n)
-                self.sharding = data_sharding(self.mesh)
-        self.data_scale = self.mesh.size if self.mesh is not None else 1
+                self.mesh = make_mesh(n, sp=cfg.sp_devices)
+                self.sharding = stream_sharding(self.mesh)
+        self.data_scale = (self.mesh.shape["data"]
+                           if self.mesh is not None else 1)
         root = snapshot_root or cfg.snapshot_root
         run = f"{cfg.name}_{cfg.exp}_{cfg.labelnum}_labeled"
         self.pre_dir = os.path.join(root, run, "pre_train")
@@ -87,15 +92,19 @@ class BCPTrainer:
                                        **extra)
         self.ckpt = CheckpointIO()
         self._val_cases: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+        # eval shards window/slice *batches*: it wants every chip on one
+        # axis, so a 2-D (data, space) train mesh flattens here
+        from bcp_tpu.parallel import flat_mesh
+        emesh = flat_mesh(self.mesh) if self.mesh is not None else None
         if cfg.dims == 3:
             self.evaluator = SlidingWindowEvaluator(
                 self.eval_model, cfg.patch_size, cfg.num_classes,
                 cfg.stride_xy, cfg.stride_z, batch=cfg.eval_batch,
-                mesh=self.mesh)
+                mesh=emesh)
         else:
             self.evaluator = Slice2DEvaluator(
                 self.eval_model, cfg.patch_size, cfg.num_classes,
-                mesh=self.mesh)
+                mesh=emesh)
 
     # ---------------- validation ----------------
 
@@ -194,8 +203,14 @@ class BCPTrainer:
             # over ICI inside the jitted step (SURVEY.md C28/C29)
             from bcp_tpu.parallel import replicate_state
             state = replicate_state(state, self.mesh)
-            logger.info("data-parallel mesh over %d devices "
+            sp = self.mesh.shape.get("space", 1)
+            if sp > 1 and cfg.patch_size[0] % sp:
+                raise ValueError(
+                    f"sp_devices={sp} must divide the patch's leading "
+                    f"spatial extent {cfg.patch_size[0]}")
+            logger.info("mesh over %d devices: data=%d space=%d "
                         "(global batch %d)", self.mesh.size,
+                        self.data_scale, sp,
                         cfg.batch_size * self.data_scale)
 
         K = max(int(cfg.steps_per_dispatch), 1)
