@@ -224,6 +224,87 @@ def convert_state_dict(state_dict: Dict[str, "object"], net_type: str,
     return out
 
 
+def _get(tree, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        if p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def export_state_dict(variables: Dict[str, dict], net_type: str,
+                      template: Dict[str, "object"] = None,
+                      strict: bool = True) -> Dict[str, "object"]:
+    """flax ``{"params", "batch_stats"}`` -> reference torch
+    ``state_dict`` (the reverse of :func:`convert_state_dict`), so a
+    TPU-trained checkpoint can be evaluated with the reference's own
+    scripts (`code/test_LA.py:37` et al., which call
+    ``load_state_dict`` at its strict default).
+
+    ``template``: a fresh ``state_dict()`` of the reference module. It
+    supplies the keys the flax models deliberately do not carry — the
+    dead contrastive heads (`networks/unet.py:214-236`) and BN
+    ``num_batches_tracked`` — so the export loads strict. Without one,
+    only the mapped keys are emitted (load with ``strict=False``).
+    Required for ``VNet_pancreas`` (its head index is detected from the
+    template, `pancreas/Vnet.py:124-135`).
+
+    Values are torch tensors; inverse layout transforms are exact
+    (transpose/flip only), so convert->export round-trips bit-identically
+    (``tests/test_convert.py``).
+    """
+    import torch
+    if net_type not in _MAPPINGS:
+        raise KeyError(f"no torch mapping for net_type {net_type!r}; "
+                       f"have {sorted(_MAPPINGS)}")
+    template = dict(template or {})
+    out: Dict[str, "object"] = {
+        k: (v.clone() if hasattr(v, "clone") else v)
+        for k, v in template.items()}
+    params = variables.get("params", {})
+    stats = variables.get("batch_stats", {})
+    for tprefix, fpath, kind in _MAPPINGS[net_type](template):
+        if kind in ("conv", "deconv"):
+            kernel = _get(params, fpath + ("kernel",))
+            if kernel is None:
+                if strict:
+                    raise KeyError(f"missing flax kernel at {fpath}")
+                continue
+            w = np.asarray(kernel, np.float32)
+            nsp = w.ndim - 2
+            if kind == "conv":
+                # (*k, Ci, Co) -> (Co, Ci, *k)
+                w = np.transpose(w, (nsp + 1, nsp) + tuple(range(nsp)))
+            else:
+                # un-flip, then (*k, Ci, Co) -> (Ci, Co, *k)
+                w = np.transpose(
+                    np.flip(w, axis=tuple(range(nsp))),
+                    (nsp, nsp + 1) + tuple(range(nsp)))
+            out[f"{tprefix}.weight"] = torch.from_numpy(w.copy())
+            bias = _get(params, fpath + ("bias",))
+            if bias is not None:
+                out[f"{tprefix}.bias"] = torch.from_numpy(
+                    np.asarray(bias, np.float32).copy())
+        elif kind == "bn":
+            for suffix, col, leaf in _BN_LEAVES:
+                src = _get(params if col == "params" else stats,
+                           fpath + (leaf,))
+                if src is None:
+                    if strict:
+                        raise KeyError(f"missing flax {col} leaf at "
+                                       f"{fpath + (leaf,)}")
+                    continue
+                out[f"{tprefix}.{suffix}"] = torch.from_numpy(
+                    np.asarray(src, np.float32).copy())
+            nbt = f"{tprefix}.num_batches_tracked"
+            if nbt not in out:
+                out[nbt] = torch.zeros((), dtype=torch.long)
+        else:
+            raise ValueError(kind)
+    return out
+
+
 def load_torch_checkpoint(path: str, net_type: str,
                           strict: bool = True) -> Dict[str, dict]:
     """Load a reference ``.pth`` and convert. Accepts the three on-disk

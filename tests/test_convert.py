@@ -236,3 +236,145 @@ def test_reference_eval_loop_end_to_end_parity():
         assert (label == ref_label).all()
     finally:
         torch.Tensor.cuda = orig_cuda
+
+
+# ---------------- flax -> torch export (the reverse direction) ----------------
+
+
+def test_export_roundtrips_vnet_bitexact():
+    """convert -> export must reproduce the original reference
+    state_dict bit-for-bit (the layout transforms are pure
+    transpose/flip), including the dead contrastive heads carried over
+    from the template."""
+    from bcp_tpu.convert import export_state_dict
+
+    ref = _ref_module("networks/VNet.py", "ref_vnet_rt")
+    torch.manual_seed(5)
+    tmodel = ref.VNet(n_channels=1, n_classes=2,
+                      normalization="batchnorm", has_dropout=True)
+    _randomize_bn_stats(tmodel, seed=6)
+    sd0 = tmodel.state_dict()
+    variables = convert_state_dict(sd0, "VNet")
+    sd1 = export_state_dict(variables, "VNet", template=sd0)
+    assert set(sd1) == set(sd0)
+    for k in sd0:
+        assert torch.equal(torch.as_tensor(sd1[k]),
+                           torch.as_tensor(sd0[k])), k
+
+
+def test_export_loads_strict_into_reference_vnet():
+    """A flax-random-init VNet3D exports to a state_dict the reference
+    module loads at load_state_dict's STRICT default (the reference eval
+    scripts' exact call, `test_LA.py:37`) and produces the same logits."""
+    from bcp_tpu.convert import export_state_dict
+
+    ref = _ref_module("networks/VNet.py", "ref_vnet_exp")
+    torch.manual_seed(7)
+    tmodel = ref.VNet(n_channels=1, n_classes=2,
+                      normalization="batchnorm", has_dropout=True)
+
+    fmodel = create_model("VNet", 2, mode="test")
+    x = np.random.default_rng(7).normal(
+        size=(1, 48, 48, 48, 1)).astype(np.float32)
+    variables = jax.jit(
+        lambda r, y: fmodel.init(r, y, train=False))(
+        {"params": jax.random.PRNGKey(7)}, jnp.asarray(x))
+    fy = np.asarray(fmodel.apply(variables, jnp.asarray(x),
+                                 train=False)[0])
+
+    exported = export_state_dict(variables, "VNet",
+                                 template=tmodel.state_dict())
+    tmodel.load_state_dict(exported)          # strict=True default
+    tmodel.eval()
+    with torch.no_grad():
+        ty = tmodel(torch.from_numpy(x).permute(0, 4, 1, 2, 3))[0]
+    ty = ty.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(fy, ty, atol=1e-4, rtol=1e-4)
+
+
+def test_export_loads_strict_into_reference_unet2d():
+    from bcp_tpu.convert import export_state_dict
+
+    ref = _ref_module("networks/unet.py", "ref_unet_exp")
+    torch.manual_seed(8)
+    tmodel = ref.UNet_2d(in_chns=1, class_num=4)
+
+    fmodel = create_model("unet", 4, mode="test")
+    x = np.random.default_rng(8).normal(
+        size=(1, 64, 64, 1)).astype(np.float32)
+    variables = jax.jit(
+        lambda r, y: fmodel.init(r, y, train=False))(
+        {"params": jax.random.PRNGKey(8)}, jnp.asarray(x))
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    fy = np.asarray(out[0] if isinstance(out, tuple) else out)
+
+    exported = export_state_dict(variables, "unet",
+                                 template=tmodel.state_dict())
+    tmodel.load_state_dict(exported)
+    tmodel.eval()
+    with torch.no_grad():
+        ty = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    if isinstance(ty, (tuple, list)):
+        ty = ty[0]
+    ty = ty.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(fy, ty, atol=1e-4, rtol=1e-4)
+
+
+def test_export_roundtrips_pancreas():
+    """Pancreas (instancenorm, branchs head detected from the
+    template) round-trips bit-exact."""
+    from bcp_tpu.convert import export_state_dict
+
+    pytest.importorskip("matplotlib")
+    ref = _ref_module("pancreas/Vnet.py", "ref_vnet_panc_rt")
+    torch.manual_seed(9)
+    tmodel = ref.VNet(n_channels=1, n_classes=2,
+                      normalization="instancenorm", has_dropout=False)
+    sd0 = tmodel.state_dict()
+    variables = convert_state_dict(sd0, "VNet_pancreas")
+    sd1 = export_state_dict(variables, "VNet_pancreas", template=sd0)
+    assert set(sd1) == set(sd0)
+    for k in sd0:
+        assert torch.equal(torch.as_tensor(sd1[k]),
+                           torch.as_tensor(sd0[k])), k
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """cli.export_torch writes a .pth whose tensors convert back to the
+    exact flax variables that were exported (full inverse-mapping
+    coverage on a really-trained tiny checkpoint)."""
+    from bcp_tpu.cli import export_torch
+    from bcp_tpu.config import la_config
+    from bcp_tpu.data import synthetic
+    from bcp_tpu.train.trainer import BCPTrainer
+
+    root = synthetic.make_la_dataset(
+        str(tmp_path / "data"), n_train=6, n_test=1,
+        shape=(40, 40, 32), seed=11)
+    cfg = la_config(labelnum=4).replace(
+        root_path=root, patch_size=(32, 32, 16), batch_size=6,
+        labeled_bs=4, max_samples=6, n_filters=4,
+        pre_iterations=2, eval_every=2, stride_xy=12, stride_z=8,
+        eval_batch=4, snapshot_root=str(tmp_path / "snap"))
+    BCPTrainer(cfg).pretrain()
+
+    out = tmp_path / "exported.pth"
+    export_torch.main([
+        "--variant", "la", "--labelnum", "4",
+        "--snapshot_root", str(tmp_path / "snap"),
+        "--stage_name", "pre_train", "--n_filters", "4",
+        "--out", str(out)])
+    assert out.exists()
+
+    sd = torch.load(str(out), map_location="cpu", weights_only=False)
+    back = convert_state_dict(sd, "VNet")
+
+    from bcp_tpu.cli.common import load_eval_variables, snapshot_dir
+    from bcp_tpu.train.checkpoints import best_model_path
+    ckpt = best_model_path(snapshot_dir(cfg, "pre_train"), cfg.net_type)
+    _, orig = load_eval_variables(cfg, ckpt)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        {"params": orig["params"], "batch_stats": orig["batch_stats"]},
+        back)
