@@ -18,6 +18,28 @@ def snapshot_dir(cfg: Config, stage_name: str) -> str:
     return os.path.join(cfg.snapshot_root, run, stage_name)
 
 
+def eval_mesh(num_devices: int):
+    """1-D device mesh for sharded offline eval (``--num_devices`` on the
+    test CLIs; -1 = all chips), or None for the single-device path. The
+    evaluators shard window/slice batches over it (C28)."""
+    if num_devices in (None, 0, 1):
+        return None
+    n = jax.device_count() if num_devices == -1 else int(num_devices)
+    if n > jax.device_count():
+        raise SystemExit(f"error: --num_devices {n} but only "
+                         f"{jax.device_count()} devices are visible")
+    if n <= 1:
+        return None
+    from bcp_tpu.parallel import make_mesh
+    return make_mesh(n)
+
+
+def replicate_variables(variables, mesh):
+    """Params/batch_stats on every chip of the eval mesh."""
+    from bcp_tpu.parallel import replicated_sharding
+    return jax.device_put(variables, replicated_sharding(mesh))
+
+
 def load_eval_variables(cfg: Config, ckpt_path: str,
                         torch_ckpt: str = None):
     """Build the eval-mode model + restore weights/BN stats from a saved

@@ -12,7 +12,8 @@ import os
 
 import numpy as np
 
-from bcp_tpu.cli.common import load_eval_variables, snapshot_dir
+from bcp_tpu.cli.common import (eval_mesh, load_eval_variables,
+                                 replicate_variables, snapshot_dir)
 from bcp_tpu.config import acdc_config
 from bcp_tpu.data.datasets import ACDCDataset
 from bcp_tpu.data.preprocess import write_nifti
@@ -35,6 +36,8 @@ def build_parser():
     # per-case float32 NIfTI dumps (spacing (1,1,10)) — the sitk writes of
     # `test_ACDC.py:70-78` (shipped commented-out there; live here)
     p.add_argument("--save_result", type=int, default=0)
+    # shard slice batches over a device mesh (-1 = all chips)
+    p.add_argument("--num_devices", type=int, default=1)
     return p
 
 
@@ -47,7 +50,11 @@ def inference(args):
     model, variables = load_eval_variables(cfg, ckpt, torch_ckpt=args.torch_ckpt)
     print(f"init weight from {ckpt}")
 
-    evaluator = Slice2DEvaluator(model, cfg.patch_size, cfg.num_classes)
+    mesh = eval_mesh(args.num_devices)
+    if mesh is not None:
+        variables = replicate_variables(variables, mesh)
+    evaluator = Slice2DEvaluator(model, cfg.patch_size, cfg.num_classes,
+                                 mesh=mesh)
     ds = ACDCDataset(cfg.root_path, "test")
     pred_dir = os.path.join(os.path.dirname(snap),
                             f"{args.model}_predictions")

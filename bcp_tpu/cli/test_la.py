@@ -12,7 +12,8 @@ import os
 
 import numpy as np
 
-from bcp_tpu.cli.common import load_eval_variables, snapshot_dir
+from bcp_tpu.cli.common import (eval_mesh, load_eval_variables,
+                                 replicate_variables, snapshot_dir)
 from bcp_tpu.config import la_config
 from bcp_tpu.data.datasets import LAHeartDataset
 from bcp_tpu.data.preprocess import write_nifti
@@ -40,6 +41,8 @@ def build_parser():
     p.add_argument("--stride_xy", type=int, default=18)
     p.add_argument("--stride_z", type=int, default=4)
     p.add_argument("--eval_batch", type=int, default=8)
+    # shard window batches over a device mesh (-1 = all chips)
+    p.add_argument("--num_devices", type=int, default=1)
     # the reference hardcodes (112,112,80) (`test_LA.py:15`); exposed for
     # non-standard volumes / smoke runs
     p.add_argument("--patch_size", type=int, nargs=3,
@@ -60,9 +63,12 @@ def test_calculate_metric(args):
     model, variables = load_eval_variables(cfg, ckpt, torch_ckpt=args.torch_ckpt)
     print(f"init weight from {ckpt}")
 
+    mesh = eval_mesh(args.num_devices)
+    if mesh is not None:
+        variables = replicate_variables(variables, mesh)
     evaluator = SlidingWindowEvaluator(
         model, cfg.patch_size, cfg.num_classes, cfg.stride_xy,
-        cfg.stride_z, batch=cfg.eval_batch)
+        cfg.stride_z, batch=cfg.eval_batch, mesh=mesh)
     ds = LAHeartDataset(cfg.root_path, "test")
 
     out_dir = snapshot_dir(cfg, f"{cfg.net_type}_predictions")

@@ -10,7 +10,8 @@ import os
 
 import numpy as np
 
-from bcp_tpu.cli.common import load_eval_variables, snapshot_dir
+from bcp_tpu.cli.common import (eval_mesh, load_eval_variables,
+                                 replicate_variables, snapshot_dir)
 from bcp_tpu.config import pancreas_config
 from bcp_tpu.data.datasets import PancreasDataset
 from bcp_tpu.data.preprocess import write_nifti
@@ -35,6 +36,8 @@ def build_parser():
     # per-case float32 NIfTI dumps — `test_util.test_all_case(save_result)`
     # (`pancreas/test_util.py:115-121`)
     p.add_argument("--save_result", type=int, default=0)
+    # shard window batches over a device mesh (-1 = all chips)
+    p.add_argument("--num_devices", type=int, default=1)
     return p
 
 
@@ -47,9 +50,12 @@ def main(argv=None):
     model, variables = load_eval_variables(cfg, ckpt, torch_ckpt=args.torch_ckpt)
     print(f"init weight from {ckpt}")
 
+    mesh = eval_mesh(args.num_devices)
+    if mesh is not None:
+        variables = replicate_variables(variables, mesh)
     evaluator = SlidingWindowEvaluator(
         model, cfg.patch_size, cfg.num_classes, cfg.stride_xy,
-        cfg.stride_z, batch=cfg.eval_batch)
+        cfg.stride_z, batch=cfg.eval_batch, mesh=mesh)
     ds = PancreasDataset(cfg.root_path, "test")
     pred_dir = os.path.join(snapshot_dir(cfg, args.stage_name),
                             "predictions")

@@ -245,3 +245,37 @@ def test_sliding_window_eval_sharded_matches_unsharded():
     p1, _ = plain.infer(variables, image, return_score=False)
     p2, _ = sharded.infer(rep, image, return_score=False)
     np.testing.assert_array_equal(p1, p2)
+
+
+@requires_8
+def test_eval_cli_sharded_matches_single(tmp_path_factory):
+    """--num_devices on the offline eval CLI: the 8-device sharded run
+    prints the same per-dataset average as the single-device run."""
+    from bcp_tpu.cli import test_la as test_la_cli
+    from bcp_tpu.config import la_config as mk_cfg
+    from bcp_tpu.data import synthetic
+    from bcp_tpu.train.trainer import BCPTrainer
+
+    root = synthetic.make_la_dataset(
+        str(tmp_path_factory.mktemp("la_evalcli")), n_train=6, n_test=2,
+        shape=(40, 40, 32), seed=12)
+    snap = str(tmp_path_factory.mktemp("snap_evalcli"))
+    cfg = mk_cfg(labelnum=4).replace(
+        root_path=root, patch_size=(32, 32, 16), batch_size=6,
+        labeled_bs=4, max_samples=6, n_filters=4,
+        pre_iterations=2, eval_every=2, stride_xy=12, stride_z=8,
+        eval_batch=4, snapshot_root=snap)
+    BCPTrainer(cfg).pretrain()
+
+    common = ["--root_path", root, "--labelnum", "4",
+              "--snapshot_root", snap, "--stage_name", "pre_train",
+              "--n_filters", "4", "--patch_size", "32", "32", "16",
+              "--stride_xy", "12", "--stride_z", "8",
+              "--eval_batch", "4", "--detail", "0", "--nms", "1"]
+    args1 = test_la_cli.build_parser().parse_args(
+        common + ["--num_devices", "1"])
+    args8 = test_la_cli.build_parser().parse_args(
+        common + ["--num_devices", "8"])
+    avg1 = test_la_cli.test_calculate_metric(args1)
+    avg8 = test_la_cli.test_calculate_metric(args8)
+    np.testing.assert_allclose(avg1, avg8, rtol=1e-6, atol=1e-8)
