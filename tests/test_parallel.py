@@ -279,3 +279,26 @@ def test_eval_cli_sharded_matches_single(tmp_path_factory):
     avg1 = test_la_cli.test_calculate_metric(args1)
     avg8 = test_la_cli.test_calculate_metric(args8)
     np.testing.assert_allclose(avg1, avg8, rtol=1e-6, atol=1e-8)
+
+
+@requires_8
+def test_sp_forward_matches_single_device_2d():
+    """The 'space' axis also shards 2-D (ACDC) slices' leading spatial
+    dim: UNet2D logits under (data=1, space=2) match unsharded."""
+    model = create_model("unet", class_num=4, mode="test")
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(4),
+                                     (2, 32, 32, 1)), np.float32)
+    variables = jax.jit(lambda r, y: model.init(r, y, train=False))(
+        {"params": jax.random.PRNGKey(5)}, x)
+    fwd = jax.jit(lambda v, y: model.apply(v, y, train=False))
+
+    def first(out):
+        return out[0] if isinstance(out, tuple) else out
+
+    ref = np.asarray(first(fwd(variables, x)))
+    mesh = make_mesh(2, sp=2)
+    vrep = jax.device_put(variables, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    xs = jax.device_put(x, stream_sharding(mesh))
+    out = np.asarray(first(fwd(vrep, xs)))
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
