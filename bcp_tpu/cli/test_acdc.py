@@ -48,7 +48,7 @@ def inference(args):
     snap = snapshot_dir(cfg, args.stage_name)
     ckpt = best_model_path(snap, cfg.net_type)
     model, variables = load_eval_variables(cfg, ckpt, torch_ckpt=args.torch_ckpt)
-    print(f"init weight from {ckpt}")
+    print(f"init weight from {args.torch_ckpt or ckpt}")
 
     mesh = eval_mesh(args.num_devices)
     if mesh is not None:

@@ -48,7 +48,7 @@ def main(argv=None):
         stride_xy=args.stride_xy, stride_z=args.stride_z)
     ckpt = best_model_path(snapshot_dir(cfg, args.stage_name), cfg.net_type)
     model, variables = load_eval_variables(cfg, ckpt, torch_ckpt=args.torch_ckpt)
-    print(f"init weight from {ckpt}")
+    print(f"init weight from {args.torch_ckpt or ckpt}")
 
     mesh = eval_mesh(args.num_devices)
     if mesh is not None:

@@ -258,6 +258,13 @@ def export_state_dict(variables: Dict[str, dict], net_type: str,
     if net_type not in _MAPPINGS:
         raise KeyError(f"no torch mapping for net_type {net_type!r}; "
                        f"have {sorted(_MAPPINGS)}")
+    if net_type == "VNet_pancreas" and not template:
+        # the branchs head index is dropout-dependent (`Vnet.py:124-135`)
+        # and can only be read off a real state_dict; guessing would
+        # silently park the output conv under the wrong key
+        raise ValueError("export for VNet_pancreas requires a template "
+                         "state_dict (its branchs head index depends on "
+                         "the reference module's dropout flag)")
     template = dict(template or {})
     out: Dict[str, "object"] = {
         k: (v.clone() if hasattr(v, "clone") else v)

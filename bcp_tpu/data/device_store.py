@@ -111,14 +111,15 @@ class DeviceVolumeStore:
         return crop_batch
 
     # ------------------------------------------------------------------
-    def sample_batch(self, indices, rng: np.random.Generator,
-                     rotflip: bool = True):
-        """Random-crop (+ optional rot/flip) batch, fully on device.
-
-        Host draws match the reference's RNG pattern per sample:
-        k ~ U{0..3}, flip axis ~ U{0,1} (`dataset.py:52-59`), crop offset
-        ~ U[0, dim-patch) (`dataset.py:202-204`).
-        """
+    def draw_params(self, indices, rng: np.random.Generator,
+                    rotflip: bool = True):
+        """Host-side augmentation draws for one batch, matching the
+        reference's RNG pattern per sample: k ~ U{0..3}, flip axis ~
+        U{0,1} (`dataset.py:52-59`), crop offset ~ U[0, dim-patch)
+        (`dataset.py:202-204`). Split from :meth:`crop_batch` so callers
+        that fuse several batches into one device program (the K-stacked
+        feed) can still consume the RNG stream in the exact per-batch
+        order of K sequential ``sample_batch`` calls."""
         idx = np.asarray(indices, np.int32)
         n = len(idx)
         ks = np.zeros(n, np.int32)
@@ -132,10 +133,21 @@ class DeviceVolumeStore:
             for d in range(3):
                 offsets[j, d] = rng.integers(
                     0, max(shape[d] - self.patch[d], 1))
-        do = np.full(n, bool(rotflip))
+        return idx, offsets, ks, flips
+
+    def crop_batch(self, params, rotflip: bool = True):
+        """Apply :meth:`draw_params` output on device."""
+        idx, offsets, ks, flips = params
+        do = np.full(len(idx), bool(rotflip))
         return self._crop_fn(self.images, self.labels, jnp.asarray(idx),
                              jnp.asarray(offsets), jnp.asarray(ks),
                              jnp.asarray(flips), jnp.asarray(do))
+
+    def sample_batch(self, indices, rng: np.random.Generator,
+                     rotflip: bool = True):
+        """Random-crop (+ optional rot/flip) batch, fully on device."""
+        return self.crop_batch(self.draw_params(indices, rng, rotflip),
+                               rotflip)
 
     def center_batch(self, indices):
         """CenterCrop batch (pancreas unlabeled stream,

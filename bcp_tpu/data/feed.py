@@ -248,17 +248,28 @@ class BCPBatchFeeder:
         if cfg.variant != "la":
             raise ValueError("stacked device feed supports the LA "
                              "pipeline (steps_per_dispatch > 1)")
-        lab_idx, unlab_idx = [], []
+        # Host RNG draws interleave labeled/unlabeled PER SUB-STEP,
+        # exactly like K sequential _build_device calls, so the batch
+        # content per sub-step is identical to the K=1 run of the same
+        # seed; only the device crops are fused into two programs.
+        lab_params, unlab_params = [], []
         for _ in range(K):
             li, ui = next(self._index_stream)
-            lab_idx += list(li)
-            unlab_idx += list(ui)
-        img, lab = self._store.sample_batch(lab_idx, self.rng,
-                                            rotflip=True)
+            lab_params.append(self._store.draw_params(li, self.rng,
+                                                      rotflip=True))
+            if self.stage == "self":
+                unlab_params.append(self._store.draw_params(
+                    ui, self.rng, rotflip=True))
+
+        def _cat(plist):
+            return tuple(np.concatenate([p[i] for p in plist])
+                         for i in range(4))
+
+        img, lab = self._store.crop_batch(_cat(lab_params), rotflip=True)
         uimg = None
         if self.stage == "self":
-            uimg, _ = self._store.sample_batch(unlab_idx, self.rng,
-                                               rotflip=True)
+            uimg, _ = self._store.crop_batch(_cat(unlab_params),
+                                             rotflip=True)
         if not hasattr(self, "_split_fn"):
             sub, usub = cfg.labeled_sub_bs, cfg.unlabeled_sub_bs
 
@@ -289,8 +300,16 @@ class BCPBatchFeeder:
                     hbs = [self._build() for _ in range(self.stack)]
                     host_batch = {k: np.stack([b[k] for b in hbs])
                                   for k in hbs[0]}
-                    device_batch = jax.device_put(host_batch,
-                                                  self.sharding)
+                    # stacked arrays carry a leading K axis: keep it
+                    # replicated and shift the batch(/space) spec right
+                    sharding = self.sharding
+                    if sharding is not None:
+                        from jax.sharding import (NamedSharding,
+                                                  PartitionSpec)
+                        sharding = NamedSharding(
+                            sharding.mesh,
+                            PartitionSpec(None, *sharding.spec))
+                    device_batch = jax.device_put(host_batch, sharding)
                 else:
                     host_batch = self._build()
                     device_batch = jax.device_put(host_batch,

@@ -9,6 +9,7 @@ reference's model/ema_model/optimizer triple plus the iteration counter
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -64,23 +65,18 @@ def build_optimizer(cfg: Config, stage: str) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
-def init_state(model, cfg: Config, key: jax.Array,
-               tx: optax.GradientTransformation,
-               example_shape: Optional[tuple] = None) -> TrainState:
-    """Initialise student == teacher (the reference loads both from the
-    same pre-train checkpoint, `LA_BCP_train.py:220-222`).
-
-    The whole initialisation runs as ONE jitted program: eagerly,
+@functools.lru_cache(maxsize=64)
+def _jitted_model_init(model, example_shape: tuple):
+    """One cached-jitted program per (model, shape): eagerly,
     ``model.init`` plus the two teacher tree-copies dispatch hundreds of
     tiny one-off XLA programs (none persistently cacheable), which
     dominates process start-up on slow hosts — measured ~10 s for even a
     16^3 V-Net on the single-core CI host vs ~4 s compile (then ~0.1 s
-    from the persistent cache) for the fused program.
-    """
-    if example_shape is None:
-        example_shape = (1, *cfg.patch_size, cfg.in_channels)
+    from the persistent cache) for the fused program. The lru_cache (flax
+    Modules hash by config) keeps repeated ``init_state`` calls — the
+    test suite's favourite pattern — from re-tracing it each time."""
 
-    def _init(key: jax.Array) -> TrainState:
+    def _init(key: jax.Array):
         x = jnp.zeros(example_shape, jnp.float32)
         pkey, dkey = jax.random.split(key)
         variables = model.init({"params": pkey, "dropout": dkey}, x,
@@ -91,17 +87,33 @@ def init_state(model, cfg: Config, key: jax.Array,
         # donates the whole state, and XLA rejects donating one buffer
         # twice. jnp.copy survives jit output buffer assignment (verified
         # by the donated-step tests, which error loudly on aliasing).
-        return TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            teacher_params=jax.tree_util.tree_map(jnp.copy, params),
-            teacher_batch_stats=jax.tree_util.tree_map(jnp.copy,
-                                                       batch_stats),
-            opt_state=tx.init(params),
-        )
+        return (params, batch_stats,
+                jax.tree_util.tree_map(jnp.copy, params),
+                jax.tree_util.tree_map(jnp.copy, batch_stats))
 
-    return jax.jit(_init)(key)
+    return jax.jit(_init)
+
+
+def init_state(model, cfg: Config, key: jax.Array,
+               tx: optax.GradientTransformation,
+               example_shape: Optional[tuple] = None) -> TrainState:
+    """Initialise student == teacher (the reference loads both from the
+    same pre-train checkpoint, `LA_BCP_train.py:220-222`). Jitted — see
+    :func:`_jitted_model_init`; the optimizer state compiles separately
+    (``tx`` carries fresh closures per ``build_optimizer`` call, so it
+    can't key a cache)."""
+    if example_shape is None:
+        example_shape = (1, *cfg.patch_size, cfg.in_channels)
+    params, batch_stats, tparams, tstats = _jitted_model_init(
+        model, tuple(example_shape))(key)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        teacher_params=tparams,
+        teacher_batch_stats=tstats,
+        opt_state=jax.jit(tx.init)(params),
+    )
 
 
 def has_batch_stats(state: TrainState) -> bool:

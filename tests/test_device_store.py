@@ -113,3 +113,31 @@ def test_device_cache_rejects_sharding():
     cfg = la_config().replace(device_data_cache=True)
     with pytest.raises(ValueError):
         BCPBatchFeeder(cfg, stage="pre", sharding="dummy")
+
+
+def test_stacked_feed_matches_sequential(tmp_path_factory):
+    """steps_per_dispatch's contract: the K-stacked device feed yields
+    per-sub-step batches identical to K sequential draws of the same
+    seed — including the self-train stage's labeled/unlabeled RNG
+    interleaving (regression: the stacked builder once drew all K
+    labeled batches' augmentations before any unlabeled ones)."""
+    root = synthetic.make_la_dataset(
+        str(tmp_path_factory.mktemp("la_stack")), n_train=6, n_test=2,
+        shape=(40, 40, 32))
+    cfg = la_config(labelnum=4).replace(
+        root_path=root, patch_size=(32, 32, 16), batch_size=6,
+        labeled_bs=4, max_samples=6, device_data_cache=True,
+        compute_dtype="float32")
+    K = 2
+    seq = BCPBatchFeeder(cfg, stage="self", seed=7)
+    singles = [next(seq) for _ in range(K)]
+    seq.close()
+    stk = BCPBatchFeeder(cfg, stage="self", seed=7, stack=K)
+    stacked = next(stk)
+    stk.close()
+    for key in singles[0]:
+        got = np.asarray(stacked[key])
+        for k in range(K):
+            np.testing.assert_array_equal(got[k],
+                                          np.asarray(singles[k][key]),
+                                          err_msg=f"{key} sub-step {k}")
