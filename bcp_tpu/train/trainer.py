@@ -75,6 +75,11 @@ class BCPTrainer:
             if n > 1:
                 self.mesh = make_mesh(n, sp=cfg.sp_devices)
                 self.sharding = stream_sharding(self.mesh)
+        if cfg.sp_devices > 1 and self.mesh is None:
+            raise ValueError(
+                f"sp_devices={cfg.sp_devices} needs a device mesh: also "
+                f"pass num_devices >= sp_devices (got "
+                f"{cfg.num_devices})")
         self.data_scale = (self.mesh.shape["data"]
                            if self.mesh is not None else 1)
         root = snapshot_root or cfg.snapshot_root

@@ -302,3 +302,13 @@ def test_sp_forward_matches_single_device_2d():
     xs = jax.device_put(x, stream_sharding(mesh))
     out = np.asarray(first(fwd(vrep, xs)))
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_without_mesh_rejected(tmp_path):
+    """sp_devices > 1 with num_devices = 1 must fail loudly, not
+    silently train unsharded."""
+    from bcp_tpu.train.trainer import BCPTrainer
+    cfg = la_config().replace(sp_devices=2, num_devices=1,
+                              snapshot_root=str(tmp_path))
+    with pytest.raises(ValueError, match="sp_devices"):
+        BCPTrainer(cfg)
