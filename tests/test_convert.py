@@ -378,3 +378,39 @@ def test_export_cli_roundtrip(tmp_path):
             np.asarray(a, np.float32), np.asarray(b, np.float32)),
         {"params": orig["params"], "batch_stats": orig["batch_stats"]},
         back)
+
+
+def test_export_cli_with_template_strict_loads(tmp_path):
+    """--template carries the reference's dead-head keys so the exported
+    .pth loads at load_state_dict's strict default."""
+    from bcp_tpu.cli import export_torch
+    from bcp_tpu.config import la_config
+    from bcp_tpu.data import synthetic
+    from bcp_tpu.train.trainer import BCPTrainer
+
+    # n_filters must match the reference module's width (16)
+    root = synthetic.make_la_dataset(
+        str(tmp_path / "data"), n_train=6, n_test=1,
+        shape=(40, 40, 32), seed=13)
+    cfg = la_config(labelnum=4).replace(
+        root_path=root, patch_size=(32, 32, 16), batch_size=6,
+        labeled_bs=4, max_samples=6,
+        pre_iterations=2, eval_every=2, stride_xy=12, stride_z=8,
+        eval_batch=4, snapshot_root=str(tmp_path / "snap"))
+    BCPTrainer(cfg).pretrain()
+
+    ref = _ref_module("networks/VNet.py", "ref_vnet_cli_tpl")
+    torch.manual_seed(14)
+    tmodel = ref.VNet(n_channels=1, n_classes=2,
+                      normalization="batchnorm", has_dropout=True)
+    tpl = tmp_path / "fresh.pth"
+    torch.save(tmodel.state_dict(), tpl)
+
+    out = tmp_path / "exported.pth"
+    export_torch.main([
+        "--variant", "la", "--labelnum", "4",
+        "--snapshot_root", str(tmp_path / "snap"),
+        "--stage_name", "pre_train",
+        "--template", str(tpl), "--out", str(out)])
+    sd = torch.load(str(out), map_location="cpu", weights_only=False)
+    tmodel.load_state_dict(sd)   # strict=True default must succeed
