@@ -414,3 +414,80 @@ def test_export_cli_with_template_strict_loads(tmp_path):
         "--template", str(tpl), "--out", str(out)])
     sd = torch.load(str(out), map_location="cpu", weights_only=False)
     tmodel.load_state_dict(sd)   # strict=True default must succeed
+
+
+@pytest.mark.slow
+def test_reference_acdc_eval_loop_end_to_end_parity(tmp_path):
+    """ACDC checkpoint-for-checkpoint fidelity, end to end: the same
+    torch UNet_2d pushed through the reference's *own* per-slice loop
+    (`test_ACDC.py:36-80` ``test_single_volume``: nearest zoom to 256,
+    forward, argmax, zoom back) and through ``Slice2DEvaluator`` with
+    converted weights must produce the same prediction volume."""
+    import types
+
+    # stub the reference module's CUDA-era/absent imports; capture the
+    # prediction via the unconditional sitk.GetImageFromArray calls
+    captured = []
+
+    class _FakeItk:
+        def SetSpacing(self, s):
+            pass
+
+    def _fake_from_array(arr):
+        captured.append(np.asarray(arr))
+        return _FakeItk()
+
+    stubs = {}
+    for name in ("nibabel", "SimpleITK", "medpy", "medpy.metric",
+                 "tqdm", "networks", "networks.net_factory"):
+        stubs[name] = types.ModuleType(name)
+    stubs["SimpleITK"].GetImageFromArray = _fake_from_array
+    stubs["SimpleITK"].WriteImage = lambda *a, **k: None
+    _zero = lambda p, g: 0.0
+    stubs["medpy.metric"].binary = types.SimpleNamespace(
+        dc=_zero, jc=_zero, asd=_zero, hd95=_zero)
+    stubs["medpy"].metric = stubs["medpy.metric"]
+    stubs["tqdm"].tqdm = lambda x, **k: x
+    stubs["networks.net_factory"].net_factory = None
+    stubs["networks"].net_factory = stubs["networks.net_factory"]
+    old = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        ref_eval = _ref_module("test_ACDC.py", "ref_test_acdc")
+        ref_net = _ref_module("networks/unet.py", "ref_unet_acdc_e2e")
+        torch.manual_seed(21)
+        tmodel = ref_net.UNet_2d(in_chns=1, class_num=4)
+        tmodel.eval()
+        _randomize_bn_stats(tmodel, seed=21)
+
+        from bcp_tpu.data import synthetic
+        root = synthetic.make_acdc_dataset(
+            str(tmp_path / "acdc"), n_train_slices=2, n_val=1,
+            slice_shape=(64, 48), vol_depth=3, seed=22)
+        case = open(os.path.join(root, "val.list")).read().split()[0]
+
+        flags = types.SimpleNamespace(root_path=root)
+        ref_eval.test_single_volume(case, tmodel, str(tmp_path), flags)
+        assert len(captured) == 3    # img, prediction, label
+        ref_pred = captured[1]
+
+        variables = convert_state_dict(tmodel.state_dict(), "unet")
+        fmodel = create_model("unet", 4, mode="test")
+        from bcp_tpu.eval.slice2d import Slice2DEvaluator
+        ev = Slice2DEvaluator(fmodel, (256, 256), 4)
+        import h5py
+        with h5py.File(os.path.join(root, "data", f"{case}.h5")) as f:
+            image = f["image"][:]
+        pred = ev.predict_volume(variables, image)
+        assert pred.shape == ref_pred.shape
+        np.testing.assert_array_equal(np.asarray(pred, np.float32),
+                                      np.asarray(ref_pred, np.float32))
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        for k, v in old.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
