@@ -491,3 +491,66 @@ def test_reference_acdc_eval_loop_end_to_end_parity(tmp_path):
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+@pytest.mark.slow
+def test_reference_pancreas_eval_loop_end_to_end_parity():
+    """Pancreas checkpoint-for-checkpoint fidelity, end to end: the
+    reference's own sliding-window loop (`pancreas/test_util.py:88-149`
+    ``test_single_case``: overlap-add softmax average, argmax) vs
+    ``SlidingWindowEvaluator`` (rule='argmax') on converted weights."""
+    import types
+
+    stubs = {}
+    for name in ("nibabel", "medpy", "medpy.metric", "tqdm",
+                 "skimage", "skimage.measure"):
+        stubs[name] = types.ModuleType(name)
+    stubs["tqdm"].tqdm = lambda x, **k: x
+    stubs["skimage.measure"].label = None
+    stubs["skimage"].measure = stubs["skimage.measure"]
+    stubs["medpy.metric"].binary = types.SimpleNamespace()
+    stubs["medpy"].metric = stubs["medpy.metric"]
+    old = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        pytest.importorskip("matplotlib")
+        tu = _ref_module("pancreas/test_util.py", "ref_panc_test_util")
+        ref = _ref_module("pancreas/Vnet.py", "ref_vnet_panc_e2e")
+        torch.manual_seed(31)
+        tmodel = ref.VNet(n_channels=1, n_classes=2,
+                          normalization="instancenorm", has_dropout=False)
+        tmodel.eval()
+
+        patch, sxy, sz = (48, 48, 48), 16, 8
+        image = np.random.default_rng(31).normal(
+            size=(64, 64, 56)).astype(np.float32)
+        ref_label, ref_score = tu.test_single_case(
+            tmodel, image, sxy, sz, patch, num_classes=2)
+
+        variables = convert_state_dict(tmodel.state_dict(),
+                                       "VNet_pancreas")
+        fmodel = create_model("VNet_pancreas", 2, mode="test")
+        from bcp_tpu.eval.sliding_window import SlidingWindowEvaluator
+        ev = SlidingWindowEvaluator(fmodel, patch, 2, sxy, sz, batch=4)
+        label, score = ev.infer(variables, image, rule="argmax")
+
+        assert label.shape == ref_label.shape
+        np.testing.assert_allclose(np.asarray(score),
+                                   np.asarray(ref_score),
+                                   atol=2e-4, rtol=2e-4)
+        # labels must agree wherever the reference's own class margin
+        # exceeds f32 noise; exact argmax ties (measured: 1 voxel in
+        # 229376 at margin 8e-7 for this seed) may flip either way
+        margin = np.abs(ref_score[1] - ref_score[0])
+        decided = margin > 1e-4
+        assert (np.asarray(label) == ref_label)[decided].all()
+        assert float(decided.mean()) > 0.99
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        for k, v in old.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
