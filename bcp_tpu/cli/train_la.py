@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--sp_devices", type=int, default=1,
                    help="shard volumes' leading spatial axis over this "
                         "many of the num_devices chips (XLA halo exchange)")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialise V-Net stage activations in the "
+                        "backward (1/3 the activation HBM, bit-identical)")
     # HBM-resident dataset + on-device augmentation (single-chip only;
     # measured 317 vs 515 ms/iter wall-clock on v5e at LA shapes)
     p.add_argument("--device_data_cache", type=int, default=1)
@@ -66,6 +69,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         num_devices=args.num_devices,
         sp_devices=args.sp_devices,
+        remat=bool(args.remat),
         device_data_cache=bool(args.device_data_cache)
         and resolved_devices == 1,
         steps_per_dispatch=args.steps_per_dispatch)

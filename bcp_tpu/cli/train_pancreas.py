@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--sp_devices", type=int, default=1,
                    help="shard volumes' leading spatial axis over this "
                         "many of the num_devices chips (XLA halo exchange)")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialise V-Net stage activations in the "
+                        "backward (1/3 the activation HBM, bit-identical)")
     return p
 
 
@@ -44,7 +47,8 @@ def main(argv=None):
         snapshot_root=args.snapshot_root,
         compute_dtype=args.compute_dtype,
         num_devices=args.num_devices,
-        sp_devices=args.sp_devices)
+        sp_devices=args.sp_devices,
+        remat=bool(args.remat))
     # epoch -> iteration conversion happens against the actual list sizes
     trainer = BCPTrainer(cfg)
     from bcp_tpu.data.feed import BCPBatchFeeder

@@ -75,6 +75,11 @@ class Config:
     # HBM can't hold the activations of a large patch. The global batch
     # scales by num_devices // sp_devices only.
     sp_devices: int = 1
+    # Rematerialise V-Net stage activations in the backward
+    # (jax.checkpoint per stage; bit-identical grads, tested): ~1/3 the
+    # activation HBM for ~1 extra forward of FLOPs — for patches/batches
+    # that otherwise OOM one chip. 3-D V-Net pipelines only.
+    remat: bool = False
 
     # ---- optimisation
     optimizer: str = "sgd"              # 'sgd' | 'adam'

@@ -170,6 +170,13 @@ class VNet3D(nn.Module):
     # BN batch-grouping: G concatenated sub-batches normalised separately
     # (see layers.TorchBatchNorm); the self-train step uses G=2
     bn_groups: int = 1
+    # rematerialise each stage's intra-block activations in the backward
+    # (jax.checkpoint per stage): exact same math, ~1/3 the activation
+    # HBM for the conv chains — lets bigger patches/batches fit one chip
+    # at the cost of recomputing forwards during the backward. Composes
+    # with spatial partitioning (Config.sp_devices) for the largest
+    # volumes.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -178,29 +185,35 @@ class VNet3D(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         stage = ResidualConvStage if self.has_residual else ConvStage
+        DownBlock_, UpBlock_ = DownBlock, UpBlock
+        if self.remat:
+            # train (call arg 2 after self, x) is a static bool
+            stage = nn.remat(stage, static_argnums=(2,))
+            DownBlock_ = nn.remat(DownBlock, static_argnums=(2,))
+            UpBlock_ = nn.remat(UpBlock, static_argnums=(2,))
 
         # ---- encoder (`VNet.py:167-186`)
         x1 = stage(1, nf, norm, self.dtype, self.bn_groups, name="block_one")(x, train)
-        x1_dw = DownBlock(2 * nf, norm, self.dtype, self.bn_groups, name="block_one_dw")(x1, train)
+        x1_dw = DownBlock_(2 * nf, norm, self.dtype, self.bn_groups, name="block_one_dw")(x1, train)
         x2 = stage(2, 2 * nf, norm, self.dtype, self.bn_groups, name="block_two")(x1_dw, train)
-        x2_dw = DownBlock(4 * nf, norm, self.dtype, self.bn_groups, name="block_two_dw")(x2, train)
+        x2_dw = DownBlock_(4 * nf, norm, self.dtype, self.bn_groups, name="block_two_dw")(x2, train)
         x3 = stage(3, 4 * nf, norm, self.dtype, self.bn_groups, name="block_three")(x2_dw, train)
-        x3_dw = DownBlock(8 * nf, norm, self.dtype, self.bn_groups, name="block_three_dw")(x3, train)
+        x3_dw = DownBlock_(8 * nf, norm, self.dtype, self.bn_groups, name="block_three_dw")(x3, train)
         x4 = stage(3, 8 * nf, norm, self.dtype, self.bn_groups, name="block_four")(x3_dw, train)
-        x4_dw = DownBlock(16 * nf, norm, self.dtype, self.bn_groups, name="block_four_dw")(x4, train)
+        x4_dw = DownBlock_(16 * nf, norm, self.dtype, self.bn_groups, name="block_four_dw")(x4, train)
         x5 = stage(3, 16 * nf, norm, self.dtype, self.bn_groups, name="block_five")(x4_dw, train)
         if self.has_dropout:
             x5 = nn.Dropout(0.5, broadcast_dims=spatial_broadcast_dims(
                 x5.ndim), name="enc_dropout")(x5, deterministic=not train)
 
         # ---- decoder (`VNet.py:213-239`): additive skips
-        x5_up = UpBlock(8 * nf, norm, self.dtype, self.bn_groups, name="block_five_up")(x5, train) + x4
+        x5_up = UpBlock_(8 * nf, norm, self.dtype, self.bn_groups, name="block_five_up")(x5, train) + x4
         x6 = stage(3, 8 * nf, norm, self.dtype, self.bn_groups, name="block_six")(x5_up, train)
-        x6_up = UpBlock(4 * nf, norm, self.dtype, self.bn_groups, name="block_six_up")(x6, train) + x3
+        x6_up = UpBlock_(4 * nf, norm, self.dtype, self.bn_groups, name="block_six_up")(x6, train) + x3
         x7 = stage(3, 4 * nf, norm, self.dtype, self.bn_groups, name="block_seven")(x6_up, train)
-        x7_up = UpBlock(2 * nf, norm, self.dtype, self.bn_groups, name="block_seven_up")(x7, train) + x2
+        x7_up = UpBlock_(2 * nf, norm, self.dtype, self.bn_groups, name="block_seven_up")(x7, train) + x2
         x8 = stage(2, 2 * nf, norm, self.dtype, self.bn_groups, name="block_eight")(x7_up, train)
-        x8_up = UpBlock(nf, norm, self.dtype, self.bn_groups, name="block_eight_up")(x8, train) + x1
+        x8_up = UpBlock_(nf, norm, self.dtype, self.bn_groups, name="block_eight_up")(x8, train) + x1
         x9 = stage(1, nf, norm, self.dtype, self.bn_groups, name="block_nine")(x8_up, train)
         if self.has_dropout:
             x9 = nn.Dropout(0.5, broadcast_dims=spatial_broadcast_dims(

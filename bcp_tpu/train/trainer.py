@@ -90,8 +90,14 @@ class BCPTrainer:
         dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
             cfg.compute_dtype).type
         extra = {"n_filters": cfg.n_filters} if cfg.n_filters else {}
+        train_extra = dict(extra)
+        if cfg.remat:
+            if cfg.dims != 3:
+                raise ValueError("remat targets the 3-D V-Net pipelines")
+            train_extra["remat"] = True
         self.model = create_model(cfg.net_type, cfg.num_classes,
-                                  compute_dtype=dtype, **extra)
+                                  compute_dtype=dtype, **train_extra)
+        # eval never builds a backward; remat would only slow it down
         self.eval_model = create_model(cfg.net_type, cfg.num_classes,
                                        mode="test", compute_dtype=dtype,
                                        **extra)

@@ -171,3 +171,44 @@ def test_vnet_instancenorm_no_batchstats():
     x = jnp.zeros((1, 16, 16, 16, 1))
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     assert "batch_stats" not in variables
+
+
+def test_vnet_remat_bit_identical():
+    """Config.remat (jax.checkpoint per V-Net stage) must not change any
+    number: loss, grads and BN-stat updates are bit-identical to the
+    plain model; param trees interchange (the trainer evals remat-trained
+    params through the plain test-mode model)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bcp_tpu.models import create_model
+
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(0),
+                                     (2, 16, 16, 16, 1)), np.float32)
+    outs = {}
+    for rm in (False, True):
+        m = create_model("VNet", 2, n_filters=4, remat=rm)
+        v = jax.jit(lambda r, y, m=m: m.init(r, y, train=False))(
+            {"params": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, x)
+
+        def loss(p, bs, y, m=m):
+            (lo, _), upd = m.apply(
+                {"params": p, "batch_stats": bs}, y, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(3)})
+            return jnp.sum(lo ** 2), upd["batch_stats"]
+
+        (l, bs2), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(
+            v["params"], v["batch_stats"], x)
+        outs[rm] = (float(l), g, bs2, v)
+
+    assert outs[False][0] == outs[True][0]
+    for a, b in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                    jax.tree_util.tree_leaves(outs[True][1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(outs[False][2]),
+                    jax.tree_util.tree_leaves(outs[True][2])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (jax.tree_util.tree_structure(outs[False][3])
+            == jax.tree_util.tree_structure(outs[True][3]))

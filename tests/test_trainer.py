@@ -112,3 +112,15 @@ def test_short_stage_still_saves_best(tiny_cfg, tmp_path):
     assert os.path.exists(pre_best)
     self_dice, _ = trainer.selftrain()
     assert 0.0 <= self_dice <= 1.0
+
+
+def test_trainer_remat_runs(tiny_cfg):
+    """Config.remat end-to-end: remat train model + plain eval model
+    share params through a real (tiny) pre-train stage."""
+    import os
+    cfg = tiny_cfg.replace(pre_iterations=2, eval_every=2, remat=True)
+    trainer = BCPTrainer(cfg, snapshot_root=os.path.join(
+        cfg.snapshot_root, "remat_run"))
+    dice, best = trainer.pretrain()
+    assert 0.0 <= dice <= 1.0
+    assert os.path.exists(best)
