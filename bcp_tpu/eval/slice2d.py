@@ -26,6 +26,10 @@ class Slice2DEvaluator:
         """``mesh``: optional 1-D device mesh — the slice batch shards
         over it (slice buckets padded to a mesh multiple), variables
         replicated."""
+        if mesh is not None and len(mesh.axis_names) > 1:
+            # eval shards slice batches; flatten a 2-D train mesh
+            from bcp_tpu.parallel import flat_mesh
+            mesh = flat_mesh(mesh)
         self.model = model
         self.patch = tuple(patch_size)
         self.num_classes = num_classes

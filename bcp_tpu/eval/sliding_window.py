@@ -79,6 +79,11 @@ class SlidingWindowEvaluator:
         it (``batch`` windows *per device*), volume/score/count maps are
         replicated; the long-input axis of SURVEY.md §5 handled by
         spreading the window grid over chips."""
+        if mesh is not None and len(mesh.axis_names) > 1:
+            # a 2-D (data, space) train mesh: windows are patch-sized, so
+            # eval wants every chip on one batch axis
+            from bcp_tpu.parallel import flat_mesh
+            mesh = flat_mesh(mesh)
         self.model = model
         self.patch = tuple(patch_size)
         self.num_classes = num_classes
