@@ -15,7 +15,10 @@ from the user's reference install, e.g. ::
 
 — and those keys are carried over at their init values. Without a
 template only the mapped weights are emitted; load with
-``strict=False``.
+``strict=False``. Exception: ``--variant pancreas`` REQUIRES a template
+(the reference pancreas V-Net's output-head key index depends on its
+dropout flag, `pancreas/Vnet.py:124-135`, and can only be read off a
+real state_dict — the export raises otherwise).
 """
 
 from __future__ import annotations
@@ -41,7 +44,8 @@ def build_parser():
                         "snapshot_root/stage_name naming)")
     p.add_argument("--template", type=str, default=None,
                    help="fresh reference state_dict() .pth supplying the "
-                        "dead-head keys for strict loading")
+                        "dead-head keys for strict loading (REQUIRED for "
+                        "--variant pancreas)")
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--n_filters", type=int, default=None)
     return p

@@ -84,6 +84,14 @@ class BCPBatchFeeder:
                                       or self.scale > 1):
             raise ValueError("device_data_cache is a single-device "
                              "optimisation; use the host feed with a mesh")
+        # stacked host batches carry a leading K axis: keep it replicated
+        # and shift the batch(/space) spec right (computed once; also
+        # fails fast here if sharding isn't a NamedSharding)
+        self._stacked_sharding = None
+        if self.stack > 1 and sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._stacked_sharding = NamedSharding(
+                sharding.mesh, PartitionSpec(None, *sharding.spec))
         if cfg.variant == "pancreas":
             self._init_pancreas()
         else:
@@ -300,16 +308,8 @@ class BCPBatchFeeder:
                     hbs = [self._build() for _ in range(self.stack)]
                     host_batch = {k: np.stack([b[k] for b in hbs])
                                   for k in hbs[0]}
-                    # stacked arrays carry a leading K axis: keep it
-                    # replicated and shift the batch(/space) spec right
-                    sharding = self.sharding
-                    if sharding is not None:
-                        from jax.sharding import (NamedSharding,
-                                                  PartitionSpec)
-                        sharding = NamedSharding(
-                            sharding.mesh,
-                            PartitionSpec(None, *sharding.spec))
-                    device_batch = jax.device_put(host_batch, sharding)
+                    device_batch = jax.device_put(host_batch,
+                                                  self._stacked_sharding)
                 else:
                     host_batch = self._build()
                     device_batch = jax.device_put(host_batch,

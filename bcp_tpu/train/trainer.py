@@ -75,11 +75,15 @@ class BCPTrainer:
             if n > 1:
                 self.mesh = make_mesh(n, sp=cfg.sp_devices)
                 self.sharding = stream_sharding(self.mesh)
-        if cfg.sp_devices > 1 and self.mesh is None:
+        if cfg.sp_devices > 1 and (
+                self.mesh is None
+                or "space" not in self.mesh.axis_names
+                or self.mesh.shape["space"] != cfg.sp_devices):
             raise ValueError(
-                f"sp_devices={cfg.sp_devices} needs a device mesh: also "
-                f"pass num_devices >= sp_devices (got "
-                f"{cfg.num_devices})")
+                f"sp_devices={cfg.sp_devices} needs a mesh with a "
+                f"matching 'space' axis: pass num_devices >= sp_devices "
+                f"(got num_devices={cfg.num_devices}, mesh="
+                f"{None if self.mesh is None else self.mesh.shape})")
         self.data_scale = (self.mesh.shape["data"]
                            if self.mesh is not None else 1)
         root = snapshot_root or cfg.snapshot_root
@@ -92,8 +96,10 @@ class BCPTrainer:
         extra = {"n_filters": cfg.n_filters} if cfg.n_filters else {}
         train_extra = dict(extra)
         if cfg.remat:
-            if cfg.dims != 3:
-                raise ValueError("remat targets the 3-D V-Net pipelines")
+            if cfg.net_type not in ("VNet", "VNet_pancreas", "git_VNet"):
+                raise ValueError(
+                    f"remat targets the V-Net pipelines; net_type="
+                    f"{cfg.net_type!r} has no remat support")
             train_extra["remat"] = True
         self.model = create_model(cfg.net_type, cfg.num_classes,
                                   compute_dtype=dtype, **train_extra)
@@ -103,19 +109,17 @@ class BCPTrainer:
                                        **extra)
         self.ckpt = CheckpointIO()
         self._val_cases: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
-        # eval shards window/slice *batches*: it wants every chip on one
-        # axis, so a 2-D (data, space) train mesh flattens here
-        from bcp_tpu.parallel import flat_mesh
-        emesh = flat_mesh(self.mesh) if self.mesh is not None else None
+        # eval shards window/slice *batches*: the evaluators themselves
+        # flatten a 2-D (data, space) train mesh onto one batch axis
         if cfg.dims == 3:
             self.evaluator = SlidingWindowEvaluator(
                 self.eval_model, cfg.patch_size, cfg.num_classes,
                 cfg.stride_xy, cfg.stride_z, batch=cfg.eval_batch,
-                mesh=emesh)
+                mesh=self.mesh)
         else:
             self.evaluator = Slice2DEvaluator(
                 self.eval_model, cfg.patch_size, cfg.num_classes,
-                mesh=emesh)
+                mesh=self.mesh)
 
     # ---------------- validation ----------------
 

@@ -305,10 +305,14 @@ def test_sp_forward_matches_single_device_2d():
 
 
 def test_sp_without_mesh_rejected(tmp_path):
-    """sp_devices > 1 with num_devices = 1 must fail loudly, not
-    silently train unsharded."""
+    """sp_devices > 1 must fail loudly unless the mesh actually carries
+    a matching 'space' axis — whether the mesh is absent (num_devices=1)
+    or an explicit 1-D sharding was passed."""
     from bcp_tpu.train.trainer import BCPTrainer
     cfg = la_config().replace(sp_devices=2, num_devices=1,
                               snapshot_root=str(tmp_path))
     with pytest.raises(ValueError, match="sp_devices"):
         BCPTrainer(cfg)
+    if len(jax.devices()) >= 2:
+        with pytest.raises(ValueError, match="sp_devices"):
+            BCPTrainer(cfg, sharding=data_sharding(make_mesh(2)))
