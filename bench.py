@@ -118,15 +118,21 @@ def main():
     ap.add_argument("--eval", action="store_true",
                     help="benchmark sliding-window inference instead of "
                          "the train step")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-stage rematerialisation (Config.remat): "
+                         "measures the FLOPs-for-HBM trade's step cost")
     flags = ap.parse_args()
     variant = flags.variant
+    if flags.remat and variant == "acdc":
+        ap.error("--remat targets the 3-D V-Net pipelines")
     if flags.eval:
         return eval_bench(variant)
     cfg = {"la": la_config, "acdc": acdc_config,
            "pancreas": pancreas_config}[variant]()
     # real configuration (bf16 compute, f32 params)
+    extra = {"remat": True} if flags.remat else {}
     model = create_model(cfg.net_type, cfg.num_classes,
-                         compute_dtype=jnp.bfloat16)
+                         compute_dtype=jnp.bfloat16, **extra)
     tx = build_optimizer(cfg, "self")
     state = init_state(model, cfg, jax.random.PRNGKey(0), tx)
     step = make_selftrain_step(model, tx, cfg)
@@ -157,14 +163,15 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
 
     patches_per_sec = cfg.batch_size / dt
+    tag = " remat" if flags.remat else ""
     if variant == "la":
         metric = ("3D patches/sec/chip (LA BCP self-train step, "
-                  "VNet 112x112x80 batch 8)")
+                  f"VNet 112x112x80 batch 8{tag})")
         vs = round(patches_per_sec / ASSUMED_BASELINE_PATCHES_PER_SEC, 3)
     else:
         shape = "x".join(str(s) for s in cfg.patch_size)
         metric = (f"patches/sec/chip ({variant} BCP self-train step, "
-                  f"{cfg.net_type} {shape} batch {cfg.batch_size})")
+                  f"{cfg.net_type} {shape} batch {cfg.batch_size}{tag})")
         vs = 0.0   # no derived baseline for the secondary pipelines
     result = {
         "metric": metric,
