@@ -23,8 +23,9 @@ echo "== bench: acdc + pancreas variants"
 timeout 1800 python bench.py --variant acdc
 timeout 1800 python bench.py --variant pancreas
 
-echo "== TPU-gated pallas exactness tests"
-timeout 1800 python -m pytest tests/test_conv3d.py tests/test_scatter_pallas.py -q -k tpu
+echo "== TPU-gated pallas exactness tests (BCP_TEST_TPU keeps the real backend)"
+timeout 1800 env BCP_TEST_TPU=1 python -m pytest \
+  tests/test_conv3d.py tests/test_scatter_pallas.py -q
 
 echo "== verify drive: train + eval CLI on synthetic data"
 rm -rf /tmp/v_la /tmp/v_snap

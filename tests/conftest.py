@@ -17,8 +17,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_platform_name", "cpu")
+# BCP_TEST_TPU=1 keeps the real backend so the TPU-gated Pallas
+# exactness tests (test_conv3d.py::test_pallas_*_on_tpu,
+# test_scatter_pallas.py) actually run on hardware; default is the
+# 8-virtual-device CPU mesh.
+if os.environ.get("BCP_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
 
 # Persistent compile cache: the 3D-model compiles dominate suite runtime
 # (single-core CI hosts especially); cache everything non-trivial.
