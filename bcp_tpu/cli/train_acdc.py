@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--resume", action="store_true")
     # data-parallel device mesh: 1 = single chip, -1 = every visible chip
     p.add_argument("--num_devices", type=int, default=1)
+    # fuse K train steps into one XLA dispatch (single-device;
+    # Config.steps_per_dispatch). Requires eval_every % K == 0.
+    p.add_argument("--steps_per_dispatch", type=int, default=1)
     p.add_argument("--sp_devices", type=int, default=1,
                    help="shard volumes' leading spatial axis over this "
                         "many of the num_devices chips (XLA halo exchange)")
@@ -53,7 +56,8 @@ def main(argv=None):
         snapshot_root=args.snapshot_root,
         compute_dtype=args.compute_dtype,
         num_devices=args.num_devices,
-        sp_devices=args.sp_devices)
+        sp_devices=args.sp_devices,
+        steps_per_dispatch=args.steps_per_dispatch)
     trainer = BCPTrainer(cfg)
     if args.stage in ("both", "pre"):
         trainer.pretrain(resume=args.resume)

@@ -30,6 +30,9 @@ def build_parser():
     # (the reference's nn.DataParallel over 2 GPUs,
     # `pancreas/dataloaders.py:12-19`)
     p.add_argument("--num_devices", type=int, default=1)
+    # fuse K train steps into one XLA dispatch (single-device;
+    # Config.steps_per_dispatch). Requires eval_every % K == 0.
+    p.add_argument("--steps_per_dispatch", type=int, default=1)
     p.add_argument("--sp_devices", type=int, default=1,
                    help="shard volumes' leading spatial axis over this "
                         "many of the num_devices chips (XLA halo exchange)")
@@ -48,6 +51,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         num_devices=args.num_devices,
         sp_devices=args.sp_devices,
+        steps_per_dispatch=args.steps_per_dispatch,
         remat=bool(args.remat))
     # epoch -> iteration conversion happens against the actual list sizes
     trainer = BCPTrainer(cfg)

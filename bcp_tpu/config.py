@@ -59,8 +59,9 @@ class Config:
     # (same per-step fold_in keys, batch stream and BN/EMA threading) but
     # amortises the per-dispatch host/tunnel round-trips — on the
     # tunneled v5e the K=1 loop exposes ~17 ms dispatch + fetch latency
-    # per iteration. LA single-device only; eval_every and the stage
-    # lengths must be multiples of K.
+    # per iteration. Single-device only (any variant; the device-cached
+    # stacked feed is LA's); eval_every and the stage lengths must be
+    # multiples of K.
     steps_per_dispatch: int = 1
 
     # ---- parallelism (SURVEY.md C28/C29): data-parallel 1-D device mesh.

@@ -230,11 +230,15 @@ class BCPTrainer:
 
         K = max(int(cfg.steps_per_dispatch), 1)
         if K > 1:
-            if self.mesh is not None or cfg.variant != "la" \
-                    or not cfg.device_data_cache:
+            if self.mesh is not None:
                 raise ValueError(
-                    "steps_per_dispatch > 1 requires the single-device "
-                    "LA pipeline with device_data_cache")
+                    "steps_per_dispatch > 1 is single-device: fuse "
+                    "steps or shard over a mesh, not both")
+            if cfg.device_data_cache and cfg.variant != "la":
+                raise ValueError(
+                    "the device-cached stacked feed supports the LA "
+                    "pipeline; other variants fuse steps via the host "
+                    "feed (device_data_cache=False)")
             if cfg.eval_every % K or (max_iterations - int(state.step)) % K:
                 raise ValueError(
                     f"eval_every ({cfg.eval_every}) and the remaining "

@@ -216,3 +216,40 @@ def test_steps_per_dispatch_identical():
                     np.asarray(a), np.asarray(b), rtol=rtol, atol=atol),
                 tree1, tree3)
         assert int(state3.step) == 2
+
+
+def test_steps_per_dispatch_identical_acdc():
+    """The K-step scan is variant-agnostic: ACDC (2D unet, full-state
+    EMA, slice losses) fused K=2 matches 2 separate dispatches. First
+    sub-step tight, second loose (same reassociation argument as the LA
+    test above)."""
+    for stage, maker in (("pre", make_pretrain_step),
+                         ("self", make_selftrain_step)):
+        cfg = tiny_acdc()
+        model = create_model(cfg.net_type, cfg.num_classes, n_filters=4)
+        tx = build_optimizer(cfg, stage)
+        state1 = init_state(model, cfg, jax.random.PRNGKey(0), tx)
+        state2 = init_state(model, cfg, jax.random.PRNGKey(0), tx)
+        step1 = maker(model, tx, cfg)
+        step2 = maker(model, tx, cfg, n_steps=2)
+
+        base_key = jax.random.PRNGKey(9)
+        with_u = stage == "self"
+        batches = [make_batch(cfg, jax.random.PRNGKey(20 + i), with_u)
+                   for i in range(2)]
+        m1 = []
+        for i, b in enumerate(batches):
+            state1, m = step1(state1, b,
+                              jax.random.fold_in(base_key, 1 + i))
+            m1.append({k: float(v) for k, v in m.items()})
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches)
+        state2, m2 = step2(state2, stacked, base_key, jnp.int32(1))
+        for j in range(2):
+            tight = j == 0
+            for k in m1[j]:
+                np.testing.assert_allclose(
+                    float(np.asarray(m2[k])[j]), m1[j][k],
+                    rtol=1e-6 if tight else 1e-2,
+                    atol=1e-6 if tight else 1e-3,
+                    err_msg=f"acdc {stage} metrics[{j}][{k}]")

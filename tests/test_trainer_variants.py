@@ -43,3 +43,23 @@ def test_pancreas_two_stage(tmp_path_factory):
     self_dice, _ = trainer.selftrain()
     assert 0.0 <= pre_dice <= 1.0
     assert 0.0 <= self_dice <= 1.0
+
+
+def test_acdc_steps_per_dispatch(tmp_path_factory):
+    """steps_per_dispatch > 1 on the ACDC host feed: K=2 fused dispatch
+    through both stages (the stacked host path shards nothing here —
+    single device — and the stage lengths are K-multiples)."""
+    root = synthetic.make_acdc_dataset(
+        str(tmp_path_factory.mktemp("acdc_k_data")), n_train_slices=16,
+        n_val=1, slice_shape=(32, 32))
+    feed.ACDC_PATIENTS_TO_SLICES[1] = 8
+    cfg = acdc_config(labelnum=1).replace(
+        root_path=root, patch_size=(32, 32), batch_size=8, labeled_bs=4,
+        n_filters=4, steps_per_dispatch=2,
+        pre_iterations=4, self_iterations=4, eval_every=2,
+        snapshot_root=str(tmp_path_factory.mktemp("acdc_k_snap")))
+    trainer = BCPTrainer(cfg)
+    pre_dice, pre_best = trainer.pretrain()
+    assert os.path.exists(pre_best)
+    self_dice, _ = trainer.selftrain()
+    assert 0.0 <= self_dice <= 1.0
