@@ -63,3 +63,23 @@ def test_acdc_steps_per_dispatch(tmp_path_factory):
     assert os.path.exists(pre_best)
     self_dice, _ = trainer.selftrain()
     assert 0.0 <= self_dice <= 1.0
+
+
+def test_pancreas_steps_per_dispatch(tmp_path_factory):
+    """K=2 fused dispatch on the pancreas host feed, with the epoch
+    meters consuming the leading-stacked metrics per sub-step."""
+    root = synthetic.make_pancreas_dataset(
+        str(tmp_path_factory.mktemp("panc_k_data")), n_lab=4, n_unlab=4,
+        n_test=1, shape=(36, 36, 28))
+    cfg = pancreas_config().replace(
+        root_path=root, patch_size=(32, 32, 16), mask_patch=16,
+        n_filters=4, batch_size=8, labeled_bs=4, labeled_oversample=2,
+        steps_per_dispatch=2,
+        pre_iterations=4, self_iterations=4, eval_every=2,
+        stride_xy=16, stride_z=8, eval_batch=4,
+        snapshot_root=str(tmp_path_factory.mktemp("panc_k_snap")))
+    trainer = BCPTrainer(cfg)
+    pre_dice, pre_best = trainer.pretrain()
+    assert os.path.exists(pre_best)
+    self_dice, _ = trainer.selftrain()
+    assert 0.0 <= self_dice <= 1.0
