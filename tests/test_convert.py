@@ -554,3 +554,61 @@ def test_reference_pancreas_eval_loop_end_to_end_parity():
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+@pytest.mark.slow
+def test_reference_eval_loop_on_exported_weights():
+    """The reverse-direction e2e: OUR weights (flax random init),
+    exported via export_state_dict, strict-loaded into the reference
+    VNet, and pushed through the reference's own sliding-window loop —
+    must match our evaluator on the original flax variables. This is
+    the 'train on TPU, evaluate with the reference's tooling' user
+    story minus the training time."""
+    import types
+    from bcp_tpu.convert import export_state_dict
+
+    for name, attrs in (("medpy", {}), ("medpy.metric", {}),
+                        ("nibabel", {}),
+                        ("skimage", {}), ("skimage.measure", {})):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["skimage"].measure = sys.modules["skimage.measure"]
+    sys.modules["skimage.measure"].label = None
+    sys.modules["medpy"].metric = sys.modules["medpy.metric"]
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    if not hasattr(np, "int"):
+        np.int = int
+    try:
+        t3p = _ref_module("utils/test_3d_patch.py", "ref_t3p_export")
+        ref = _ref_module("networks/VNet.py", "ref_vnet_export_e2e")
+        torch.manual_seed(41)
+        tmodel = ref.VNet(n_channels=1, n_classes=2,
+                          normalization="batchnorm", has_dropout=True)
+
+        # OUR weights at the reference width (16 filters)
+        fmodel = create_model("VNet", 2, mode="test")
+        x0 = jnp.zeros((1, 48, 48, 48, 1))
+        variables = jax.jit(
+            lambda r, y: fmodel.init(r, y, train=False))(
+            {"params": jax.random.PRNGKey(41)}, x0)
+
+        exported = export_state_dict(variables, "VNet",
+                                     template=tmodel.state_dict())
+        tmodel.load_state_dict(exported)     # strict
+        tmodel.eval()
+
+        patch, sxy, sz = (48, 48, 48), 16, 8
+        image = np.random.default_rng(41).normal(
+            size=(64, 64, 56)).astype(np.float32)
+        ref_label, ref_score = t3p.test_single_case(
+            tmodel, image, sxy, sz, patch, num_classes=2)
+
+        from bcp_tpu.eval.sliding_window import SlidingWindowEvaluator
+        ev = SlidingWindowEvaluator(fmodel, patch, 2, sxy, sz, batch=4)
+        label, score = ev.infer(variables, image)
+        np.testing.assert_allclose(score[1], ref_score[0],
+                                   atol=2e-4, rtol=2e-4)
+        assert (np.asarray(label) == ref_label).all()
+    finally:
+        torch.Tensor.cuda = orig_cuda
