@@ -40,13 +40,17 @@ SPATIAL_AXIS = "space"
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data",
-              sp: int = 1) -> Mesh:
+              sp: int = 1,
+              devices=None) -> Mesh:
     """1-D ``(data,)`` mesh, or 2-D ``(data, space)`` when ``sp`` > 1.
 
     ``n_devices`` is the TOTAL device count (or None = all visible);
     ``sp`` must divide it — the data axis gets ``n_devices // sp``.
+    ``devices`` overrides the device list (e.g. ``jax.devices('cpu')``
+    for a simulated host mesh when another backend is the default).
     """
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     sp = max(int(sp), 1)

@@ -34,23 +34,35 @@ ITERS = 10
 
 
 def eval_bench(variant: str):
-    """LA sliding-window inference bench (BASELINE.json configs[4];
-    reference counterpart `utils/test_3d_patch.py:82-141`, which runs one
-    window per batch-1 forward with two host<->device crossings each).
+    """Offline-inference benches for the three pipelines.
 
-    Measures end-to-end ``SlidingWindowEvaluator.infer`` — upload, window
-    gather, batched forward, overlap-add, normalize, label fetch — on a
-    240x200x96 volume (a representative large LA case; 15 x 12 x 5 = 900
-    windows at stride 18/4). Prints one JSON line in windows/s/chip.
+    - ``la`` (BASELINE.json configs[4]): end-to-end
+      ``SlidingWindowEvaluator.infer`` — upload, window gather, batched
+      forward, Pallas overlap-add, normalize, label fetch — on a
+      240x200x96 volume (a representative large LA case; 15 x 12 x 5 =
+      900 windows at stride 18/4). Reference counterpart
+      `utils/test_3d_patch.py:82-141`: one window per batch-1 forward
+      with two host<->device crossings each.
+    - ``pancreas``: the same engine at the final-test configuration —
+      96^3 windows, stride 16/4 (`cli/test_pancreas.py` defaults,
+      reference `pancreas/test_pancreas.py`), on a representative
+      176x144x112 pancreas crop.
+    - ``acdc``: ``Slice2DEvaluator.predict_volume`` — host zoom of every
+      slice to 256x256, ONE batched device forward, zoom back — on a
+      20-slice 256x216 cine volume. Reference counterpart
+      `utils/val_2d.py:20-41` / `test_ACDC.py:36-79`: batch-1 forward
+      per slice.
+
+    Prints one JSON line (windows/s/chip or slices/s/chip). The
+    reference publishes no inference throughput, so no ``vs_baseline``
+    estimate is derived for any of these.
     """
     import numpy as np
-    from bcp_tpu.config import la_config
-    from bcp_tpu.eval.sliding_window import (SlidingWindowEvaluator,
-                                             window_starts)
+    from bcp_tpu.config import acdc_config, la_config, pancreas_config
     from bcp_tpu.models import create_model
 
-    assert variant == "la", "eval bench currently covers the LA config"
-    cfg = la_config()
+    cfg = {"la": la_config, "acdc": acdc_config,
+           "pancreas": pancreas_config}[variant]()
     dtype = jnp.bfloat16
     model = create_model(cfg.net_type, cfg.num_classes, mode="test",
                          compute_dtype=dtype)
@@ -63,14 +75,46 @@ def eval_bench(variant: str):
     variables = {k: variables[k] for k in ("params", "batch_stats")
                  if k in variables}
 
+    if variant == "acdc":
+        from bcp_tpu.eval.slice2d import Slice2DEvaluator
+
+        evaluator = Slice2DEvaluator(model, cfg.patch_size,
+                                     cfg.num_classes)
+        shape = (20, 256, 216)
+        vol = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(2), shape), np.float32)
+        evaluator.predict_volume(variables, vol)   # warmup/compile
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            evaluator.predict_volume(variables, vol)
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "metric": (f"ACDC per-slice eval ({cfg.net_type} "
+                       f"{'x'.join(map(str, cfg.patch_size))}, volume "
+                       f"{'x'.join(map(str, shape))}, one batched "
+                       f"forward per volume)"),
+            "value": round(shape[0] / dt, 3),
+            "unit": "slices/s/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
+
+    from bcp_tpu.eval.sliding_window import (SlidingWindowEvaluator,
+                                             window_starts)
+
+    if variant == "la":
+        sxy, sz = cfg.stride_xy, cfg.stride_z
+        shape = (240, 200, 96)
+    else:   # pancreas final-test strides (cli/test_pancreas.py)
+        sxy, sz = 16, 4
+        shape = (176, 144, 112)
     evaluator = SlidingWindowEvaluator(
-        model, cfg.patch_size, cfg.num_classes, cfg.stride_xy,
-        cfg.stride_z, batch=cfg.eval_batch)
-    shape = (240, 200, 96)
+        model, cfg.patch_size, cfg.num_classes, sxy, sz,
+        batch=cfg.eval_batch)
     vol = np.asarray(jax.random.normal(jax.random.PRNGKey(2), shape),
                      np.float32)
-    n_windows = len(window_starts(shape, cfg.patch_size, cfg.stride_xy,
-                                  cfg.stride_z))
+    n_windows = len(window_starts(shape, cfg.patch_size, sxy, sz))
     evaluator.infer(variables, vol, rule=cfg.eval_rule,
                     return_score=False)          # warmup/compile
     reps = 3
@@ -80,16 +124,14 @@ def eval_bench(variant: str):
                         return_score=False)
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({
-        "metric": (f"LA sliding-window eval (VNet "
+        "metric": (f"{variant.upper()} sliding-window eval "
+                   f"({cfg.net_type} "
                    f"{'x'.join(map(str, cfg.patch_size))} windows, "
-                   f"stride {cfg.stride_xy}/{cfg.stride_z}, volume "
+                   f"stride {sxy}/{sz}, volume "
                    f"{'x'.join(map(str, shape))}, batch "
                    f"{cfg.eval_batch})"),
         "value": round(n_windows / dt, 3),
         "unit": "windows/s/chip",
-        # the reference publishes no inference throughput; no estimate
-        # is derived for it (its loop is batch-1 with per-window PCIe
-        # round-trips, `test_3d_patch.py:116-135`)
         "vs_baseline": 0.0,
     }))
 
@@ -125,6 +167,8 @@ def main():
     variant = flags.variant
     if flags.remat and variant == "acdc":
         ap.error("--remat targets the 3-D V-Net pipelines")
+    if flags.remat and flags.eval:
+        ap.error("--remat applies to the train step, not inference")
     if flags.eval:
         return eval_bench(variant)
     cfg = {"la": la_config, "acdc": acdc_config,

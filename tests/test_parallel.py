@@ -42,6 +42,19 @@ def test_mesh_and_shardings():
     assert len(sharded["img_a"].sharding.device_set) == 8
 
 
+def test_mesh_explicit_devices():
+    # an explicit device list overrides jax.devices() — the dryrun uses
+    # this to build a simulated CPU mesh even when another backend (the
+    # one real tunneled TPU chip) initialised first
+    devs = jax.devices("cpu")[:4]
+    mesh = make_mesh(4, devices=devs)
+    assert mesh.devices.shape == (4,)
+    assert set(mesh.devices.ravel()) == set(devs)
+    grid = make_mesh(4, sp=2, devices=devs)
+    assert grid.devices.shape == (2, 2)
+    assert grid.axis_names == ("data", "space")
+
+
 @requires_8
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
