@@ -73,9 +73,14 @@ class Slice2DEvaluator:
         if isinstance(variables, (list, tuple)):
             variables = tuple(variables)
         n, x, y = image.shape
-        zoomed = np.stack([
-            ndimage.zoom(image[i], (self.patch[0] / x, self.patch[1] / y),
-                         order=0) for i in range(n)]).astype(np.float32)
+        # one 3-D zoom call == the reference's per-slice loop
+        # (`val_2d.py:27`): a slice-axis factor of exactly 1.0 maps
+        # output index i to input index i, and the in-plane nearest
+        # mapping is per-axis, so the results are bit-identical
+        # (asserted in test_eval.py) at ~1/20th the host overhead.
+        zoomed = ndimage.zoom(
+            image, (1.0, self.patch[0] / x, self.patch[1] / y),
+            order=0).astype(np.float32)
         b = self.slice_bucket
         padded_n = int(math.ceil(n / b) * b)
         if padded_n != n:
@@ -86,9 +91,8 @@ class Slice2DEvaluator:
             x_dev = jax.device_put(x_dev, self._batch_sharded)
         out = self._fn(padded_n)(variables, x_dev)
         out = np.asarray(out)[:n]
-        pred = np.stack([
-            ndimage.zoom(out[i], (x / self.patch[0], y / self.patch[1]),
-                         order=0) for i in range(n)])
+        pred = ndimage.zoom(
+            out, (1.0, x / self.patch[0], y / self.patch[1]), order=0)
         return pred
 
     def validate_volume(self, variables, image, label

@@ -229,6 +229,30 @@ def test_slice2d_shapes():
     assert len(full) == 3 and all(len(t) == 4 for t in full)
 
 
+def test_slice2d_batched_zoom_matches_per_slice_loop():
+    """The evaluator's single 3-D ndimage.zoom (slice factor 1.0) must be
+    bit-identical to the reference's per-slice 2-D zoom loop
+    (`val_2d.py:27-37`), both zooming in (float image) and back out
+    (int label), including non-divisible in-plane shapes."""
+    from scipy import ndimage
+    rng = np.random.default_rng(7)
+    for n, x, y in [(5, 40, 44), (20, 256, 216), (3, 250, 217), (1, 30, 30)]:
+        img = rng.normal(size=(n, x, y)).astype(np.float32)
+        px, py = 32, 32
+        batched = ndimage.zoom(img, (1.0, px / x, py / y), order=0)
+        looped = np.stack([
+            ndimage.zoom(img[i], (px / x, py / y), order=0)
+            for i in range(n)])
+        np.testing.assert_array_equal(batched, looped)
+        lab = rng.integers(0, 4, size=(n, px, py))
+        back_b = ndimage.zoom(lab, (1.0, x / px, y / py), order=0)
+        back_l = np.stack([
+            ndimage.zoom(lab[i], (x / px, y / py), order=0)
+            for i in range(n)])
+        assert back_b.shape == (n, x, y)
+        np.testing.assert_array_equal(back_b, back_l)
+
+
 def test_count_map_not_reused_across_same_bucket_grids(small_vnet):
     """Two volumes can share the padded bucket, window count, and strides
     while having different window grids (the last start per axis sits at
