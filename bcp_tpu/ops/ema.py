@@ -3,8 +3,17 @@
 The reference has two flavours, both reproduced:
 
 - ``ema_update``: parameters only (`utils/BCP_utils.py:78-81`,
-  `pancreas/pancreas_utils.py:299-302`) — the LA / pancreas behaviour, which
-  leaves teacher BatchNorm running stats frozen at the pre-trained values.
+  `pancreas/pancreas_utils.py:299-302`) — the LA / pancreas behaviour.
+  Torch caveat: in the reference the teacher's BN *running buffers* are not
+  frozen — ``ema_model.train()`` + forward under ``no_grad``
+  (`LA_BCP_train.py:225,240-242`) still updates running stats with each
+  unlabeled batch, so the torch teacher's buffers drift. This repo's
+  ``steps._teacher_forward`` deliberately discards those updates. The
+  divergence is inert: no pipeline ever consumes teacher buffers in
+  inference mode — the teacher always forwards in train mode (batch stats),
+  and eval runs on the *student* — pinned by
+  ``tests/test_steps.py::test_teacher_batch_stats_inert`` and recorded in
+  ``docs/DESIGN.md``.
 - ``ema_update_full``: the whole variable tree including BN buffers
   (`ACDC_BCP_train.py:123-129` interpolates the entire state_dict).
 

@@ -344,8 +344,9 @@ class BCPTrainer:
                     cw = cfg.consistency * float(
                         sigmoid_rampup(j // 150, cfg.consistency_rampup))
                     if cfg.variant == "acdc":
-                        # `ACDC_BCP_train.py:395`
-                        writer.scalar("info/consistency_weight", cw, j)
+                        # ACDC's helper carries an extra 5x factor
+                        # (`ACDC_BCP_train.py:119-121`); LA/pancreas do not
+                        writer.scalar("info/consistency_weight", 5.0 * cw, j)
                     else:
                         # `LA_BCP_train.py:260`
                         writer.scalar("Self/consistency", cw, j)

@@ -42,6 +42,8 @@ def test_mesh_and_shardings():
     assert len(sharded["img_a"].sharding.device_set) == 8
 
 
+@pytest.mark.skipif(len(jax.devices("cpu")) < 4,
+                    reason="needs 4 virtual CPU devices")
 def test_mesh_explicit_devices():
     # an explicit device list overrides jax.devices() — the dryrun uses
     # this to build a simulated CPU mesh even when another backend (the

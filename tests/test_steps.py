@@ -253,3 +253,43 @@ def test_steps_per_dispatch_identical_acdc():
                     rtol=1e-6 if tight else 1e-2,
                     atol=1e-6 if tight else 1e-3,
                     err_msg=f"acdc {stage} metrics[{j}][{k}]")
+
+
+def test_teacher_batch_stats_inert():
+    """The torch reference's teacher BN running buffers drift
+    (`LA_BCP_train.py:225,240-242`: train-mode forward under no_grad still
+    updates running stats); this repo discards those updates. The
+    divergence is inert because running buffers are never *consumed*:
+    the teacher always forwards in train mode (batch statistics). Pin it:
+    perturbing the teacher's running buffers leaves every loss/metric and
+    every updated parameter of the self-train step byte-identical."""
+    cfg = tiny_la()
+    model = create_model(cfg.net_type, cfg.num_classes, n_filters=4)
+    tx = build_optimizer(cfg, "self")
+    step = make_selftrain_step(model, tx, cfg)
+    batch = make_batch(cfg, jax.random.PRNGKey(1), with_unlabeled=True)
+
+    def run(perturb):
+        state = init_state(model, cfg, jax.random.PRNGKey(0), tx)
+        if perturb:
+            tbs = jax.tree_util.tree_map(
+                lambda x: x + 7.5, state.teacher_batch_stats)
+            state = state.replace(teacher_batch_stats=tbs)
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        return state, metrics
+
+    s0, m0 = run(False)
+    s1, m1 = run(True)
+    for k in m0:
+        assert np.asarray(m0[k]).tobytes() == np.asarray(m1[k]).tobytes(), k
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        assert np.asarray(a).tobytes() == np.asarray(b).tobytes()
+    for a, b in zip(jax.tree_util.tree_leaves(s0.teacher_params),
+                    jax.tree_util.tree_leaves(s1.teacher_params)):
+        assert np.asarray(a).tobytes() == np.asarray(b).tobytes()
+    # LA is params-only EMA: the perturbed buffers simply carry through
+    assert _leaf_delta(
+        jax.tree_util.tree_map(lambda x: x + 7.5,
+                               s0.teacher_batch_stats),
+        s1.teacher_batch_stats) == 0
