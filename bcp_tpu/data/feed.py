@@ -239,6 +239,15 @@ class BCPBatchFeeder:
                     i, cfg.patch_size, self.rng) for i in unlab_idx]
                 uim_a = [s[0] for s in usamples[:usub]]
                 uim_b = [s[0] for s in usamples[usub:]]
+                if cfg.variant == "acdc":
+                    # ACDC's "unlabeled" slices all carry labels; the
+                    # snapshot panels mix the TRUE labels
+                    # (`ACDC_BCP_train.py:368-369,404,413`). Side-channel
+                    # keys: the trainer pops them before step dispatch.
+                    batch["ulab_a"] = np.stack(
+                        [s[1] for s in usamples[:usub]]).astype(np.uint8)
+                    batch["ulab_b"] = np.stack(
+                        [s[1] for s in usamples[usub:]]).astype(np.uint8)
             batch["uimg_a"] = np.stack(uim_a)[..., None].astype(
                 self.img_dtype)
             batch["uimg_b"] = np.stack(uim_b)[..., None].astype(

@@ -112,6 +112,20 @@ def _bcast(mask: jax.Array, like: jax.Array) -> jax.Array:
     return jnp.broadcast_to(mask[None], like.shape)
 
 
+def mixed_inputs(variant: str, batch, mask):
+    """The two bidirectionally-mixed student inputs
+    (`LA_BCP_train.py:248-251`, `ACDC_BCP_train.py:372-373`,
+    `train_pancreas.py:152-154`)."""
+    a, b = batch["img_a"], batch["img_b"]
+    ua, ub = batch["uimg_a"], batch["uimg_b"]
+    if variant == "la":
+        return masks.mix(a, ua, mask), masks.mix(ub, b, mask)
+    if variant == "acdc":
+        return masks.mix(ua, a, mask), masks.mix(b, ub, mask)
+    # pancreas
+    return masks.mix(ua, b, mask), masks.mix(a, ub, mask)
+
+
 def _canonical_batch(batch):
     """Device-side cast from the compact wire format (bf16/uint8; see
     data.feed._stack): labels to int32 for one-hot/mix arithmetic."""
@@ -250,20 +264,10 @@ def make_selftrain_step(model, tx: optax.GradientTransformation,
             return loss_1 + loss_2, {"loss_l": loss_1, "loss_u": loss_2}
         raise ValueError(f"unknown variant {variant!r}")
 
-    def mixed_inputs(batch, mask):
-        a, b = batch["img_a"], batch["img_b"]
-        ua, ub = batch["uimg_a"], batch["uimg_b"]
-        if variant == "la":
-            return masks.mix(a, ua, mask), masks.mix(ub, b, mask)
-        if variant == "acdc":
-            return masks.mix(ua, a, mask), masks.mix(b, ub, mask)
-        # pancreas
-        return masks.mix(ua, b, mask), masks.mix(a, ub, mask)
-
     gmodel = _grouped(model) if cfg.fuse_subbatches else model
 
     def loss_fn(params, batch_stats, batch, plab_a, plab_b, mask, dkey):
-        in1, in2 = mixed_inputs(batch, mask)
+        in1, in2 = mixed_inputs(variant, batch, mask)
         n = in1.shape[0]
         if cfg.fuse_subbatches:
             # One concat forward with 2-group BN == the reference's two

@@ -59,6 +59,7 @@ class BCPTrainer:
                  sharding=None, log_images: bool = False):
         self.cfg = cfg
         self.log_images = log_images
+        self._snapshot_fns = {}
         from bcp_tpu.parallel import make_mesh, stream_sharding
         self.mesh = None
         self.sharding = None
@@ -316,6 +317,33 @@ class BCPTrainer:
             if cfg.profile_dir and itk <= cfg.profile_steps[0] + start <= it:
                 jax.profiler.start_trace(cfg.profile_dir)
             batch = next(feeder)
+            # true unlabeled labels ride along for the ACDC snapshot
+            # panels only (`ACDC_BCP_train.py:368-369`); the step never
+            # sees them
+            ulabs = {k: batch.pop(k) for k in ("ulab_a", "ulab_b")
+                     if k in batch}
+            # Snapshot panels are computed from the PRE-update state with
+            # the due sub-step's own fold_in key, so the mixed inputs /
+            # targets are bit-identical to what that step consumes
+            # (with steps_per_dispatch > 1 the group's initial state
+            # stands in for later sub-steps' pre-state — the teacher is
+            # then up to K-1 EMA updates behind; monitoring-only delta).
+            snap_pending = None
+            if self.log_images:
+                due = [j for j in range(K)
+                       if self._snapshot_due(itk + j, stage)]
+                if due:
+                    j = due[0]
+                    sub = (batch if K == 1 else jax.tree_util.tree_map(
+                        lambda a: a[j], batch))
+                    sub_ulabs = (ulabs if K == 1 else
+                                 {k: v[j] for k, v in ulabs.items()})
+                    skey = jax.random.fold_in(base_key, itk + j)
+                    try:
+                        snap_pending = (itk + j, self._compute_snapshot(
+                            stage, state, sub, skey, sub_ulabs))
+                    except Exception:
+                        logger.exception("image snapshot failed")
             if K == 1:
                 key = jax.random.fold_in(base_key, itk)
                 state, metrics = step_fn(state, batch, key)
@@ -355,13 +383,10 @@ class BCPTrainer:
                 logger.info("profiler trace written to %s",
                             cfg.profile_dir)
 
-            if self.log_images and any(
-                    (itk + j) % cfg.eval_every == 1 for j in range(K)):
+            if snap_pending is not None:
                 try:
-                    img_batch = (batch if K == 1 else
-                                 jax.tree_util.tree_map(
-                                     lambda a: a[-1], batch))
-                    self._log_images(writer, state, img_batch, it, stage)
+                    self._emit_snapshot(writer, stage, feeder,
+                                        *snap_pending)
                 except Exception:
                     logger.exception("image logging failed")
 
@@ -446,28 +471,52 @@ class BCPTrainer:
             writer.scalar("4_Var_dice/Dice", dice_sample, it)
             writer.scalar("4_Var_dice/Best_dice", best_dice, it)
 
-    def _log_images(self, writer: MetricWriter, state: TrainState,
-                    batch, it: int, stage: str):
-        """Input / label / prediction panels, the counterpart of the
-        reference's snapshot grids (`LA_BCP_train.py:294-340`,
-        `ACDC_BCP_train.py:265-271`). Logged as a 3-row montage of the
-        first sample (mid z-slice for 3D)."""
-        img = np.asarray(batch["img_a"][0, ..., 0])
-        lab = np.asarray(batch["lab_a"][0]).astype(np.float32)
-        variables = self._eval_variables(state)
-        out = self.eval_model.apply(variables, batch["img_a"][:1],
-                                    train=False)
-        logits = out[0] if isinstance(out, tuple) else out
-        pred = np.asarray(jax.numpy.argmax(logits[0], axis=-1)).astype(
-            np.float32)
-        if img.ndim == 3:  # 3D volume -> mid z slice
-            z = img.shape[-1] // 2
-            img, lab, pred = img[..., z], lab[..., z], pred[..., z]
-        rng = img.max() - img.min()
-        img = (img - img.min()) / (rng if rng > 0 else 1.0)
-        denom = max(self.cfg.num_classes - 1, 1)
-        panel = np.concatenate([img, lab / denom, pred / denom], axis=0)
-        writer.image(f"{stage}/snapshot", panel[None], it)
+    # -- reference-faithful TB image snapshots (train/snapshots.py) -----
+    def _snapshot_due(self, it: int, stage: str) -> bool:
+        """The reference's image cadences: LA self-train every
+        ``eval_every`` at ``iter % 200 == 1`` (`LA_BCP_train.py:294`);
+        ACDC both stages every 20 (`ACDC_BCP_train.py:265,399`); no
+        images for LA pre-train or pancreas."""
+        if self.cfg.variant == "acdc":
+            return it % 20 == 0
+        if self.cfg.variant == "la" and stage == "self":
+            return it % self.cfg.eval_every == 1
+        return False
+
+    def _compute_snapshot(self, stage: str, state: TrainState, batch,
+                          key, ulabs):
+        from bcp_tpu.train import snapshots
+        cache_key = (stage, self.cfg.variant)
+        fn = self._snapshot_fns.get(cache_key)
+        if fn is None:
+            if self.cfg.variant == "la":
+                fn = snapshots.make_la_snapshot_fn(
+                    self.model, self.eval_model, self.cfg)
+            else:
+                fn = snapshots.make_acdc_snapshot_fn(
+                    self.model, self.eval_model, self.cfg, stage)
+            self._snapshot_fns[cache_key] = fn
+        if self.cfg.variant == "acdc" and stage == "self":
+            return fn(state, batch, key, ulabs["ulab_a"],
+                      ulabs["ulab_b"])
+        return fn(state, batch, key)
+
+    def _emit_snapshot(self, writer: MetricWriter, stage: str, feeder,
+                       it: int, panels):
+        from bcp_tpu.train import snapshots
+        panels = {k: np.asarray(v) for k, v in panels.items()}
+        if self.cfg.variant == "la":
+            # `LA_BCP_train.py:321,340`: Epoch_{e}_Iter_{i}_{labeled,
+            # unlabel} grids; epoch = 0-based dataloader epoch
+            epoch = (it - 1) // max(feeder.steps_per_epoch, 1)
+            for tag, prefix in (("labeled", "mixl"), ("unlabel", "mixu")):
+                grid = snapshots.la_snapshot_grid(
+                    panels[f"{prefix}_img"], panels[f"{prefix}_lab"],
+                    panels[f"{prefix}_prob"])
+                writer.images(f"Epoch_{epoch}_Iter_{it}_{tag}", grid)
+        else:
+            for tag, img in panels.items():
+                writer.image(tag, img[None].astype(np.float32), it)
 
     def pretrain(self, resume: bool = False) -> Tuple[float, str]:
         return self._run_stage("pre", self.cfg.pre_iterations,

@@ -67,6 +67,12 @@ class MetricWriter:
         if self._writer is not None:
             self._writer.add_image(tag, img, step)
 
+    def images(self, tag: str, imgs, step=None):
+        """Batched grid — ``add_images`` (`LA_BCP_train.py:321,340`
+        passes no global_step)."""
+        if self._writer is not None:
+            self._writer.add_images(tag, imgs, step)
+
     def flush(self):
         if self._writer is not None:
             self._writer.flush()
