@@ -126,6 +126,10 @@ class SlidingWindowEvaluator:
         patches = jax.vmap(gather)(starts)[..., None]
 
         def forward(v):
+            # first tuple element everywhere: (out_seg, feat) models give
+            # the logits, and dual-task (out_tanh, out_seg) models give
+            # the tanh head — exactly what `test_DTC_single_case`
+            # softmaxes (`pancreas/test_util.py:73-74`, `y1, _ = net(..)`)
             out = model.apply(v, patches, train=False)
             return out[0] if isinstance(out, tuple) else out
 

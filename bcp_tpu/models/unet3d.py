@@ -122,4 +122,8 @@ class UNet3D(nn.Module):
                               dtype=self.dtype)(d1).astype(jnp.float32))
         if self.n_heads == 1:
             return heads[0], d1
-        return tuple(heads), d1
+        # dual-task variant returns (out_tanh, out_seg) FLAT, matching
+        # `UNet_DTC.forward` (`Unet3D.py:171-178`): tanh level-set head
+        # first — `test_DTC_single_case` consumes out[0]
+        # (`pancreas/test_util.py:73`)
+        return jnp.tanh(heads[0]), heads[1]

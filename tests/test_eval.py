@@ -280,3 +280,47 @@ def test_count_map_not_reused_across_same_bucket_grids(small_vnet):
             got_score, np.moveaxis(want_score, -1, 0),
             rtol=1e-4, atol=1e-5, err_msg=f"shape {shape}")
         np.testing.assert_array_equal(got_label, want_label)
+
+
+def test_sliding_window_dtc_dual_head():
+    """Dual-task models run through the sliding-window engine the way
+    `test_DTC_single_case` does (`pancreas/test_util.py:29-86`): the
+    FIRST head (out_tanh) is softmaxed into the score map, argmax rule.
+    Verified against a naive numpy loop on `unet_3D_dtc`; `unetr_dtc`
+    shape-tested end-to-end."""
+    from bcp_tpu.models import create_model
+
+    model = create_model("unet_3D_dtc", class_num=2,
+                         feat_channels=(2, 4, 4, 8, 8))
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+    image = np.random.default_rng(3).normal(
+        size=(20, 18, 17)).astype(np.float32)
+
+    def apply_fn(t):
+        out_tanh, _ = model.apply(variables, jnp.asarray(t), train=False)
+        return np.asarray(jax.nn.softmax(out_tanh, axis=-1))
+
+    _, want_score = _naive_sliding_window(
+        apply_fn, image, (16, 16, 16), stride_xy=4, stride_z=4,
+        num_classes=2)
+    want_label = np.argmax(want_score, axis=-1)
+
+    ev = SlidingWindowEvaluator(model, (16, 16, 16), 2, 4, 4, batch=4,
+                                bucket=(8, 8, 8))
+    got_label, got_score = ev.infer(variables, image, rule="argmax")
+    np.testing.assert_allclose(got_score, np.moveaxis(want_score, -1, 0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got_label, want_label)
+
+    # unetr_dtc end-to-end shape check (patch must match its img_shape)
+    m2 = create_model("unetr_dtc", class_num=2, img_shape=(16, 16, 16),
+                      embed_dim=32, patch_size=16, num_heads=2,
+                      num_layers=4, d_ff=64, ext_layers=(1, 2, 3, 4),
+                      width_scale=0.125)
+    v2 = m2.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    ev2 = SlidingWindowEvaluator(m2, (16, 16, 16), 2, 8, 8, batch=2,
+                                 bucket=(8, 8, 8))
+    lab2, sc2 = ev2.infer(v2, image, rule="argmax")
+    assert lab2.shape == image.shape and sc2.shape == (2, *image.shape)

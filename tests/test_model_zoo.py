@@ -34,13 +34,15 @@ def test_unet3d_forward():
 
 
 def test_unet3d_dtc_two_heads():
+    """`UNet_DTC.forward` (`Unet3D.py:171-178`): flat (out_tanh, out_seg),
+    tanh head first."""
     model = create_model("unet_3D_dtc", class_num=2,
                          feat_channels=(4, 8, 8, 16, 32))
-    x = jnp.zeros((1, 16, 16, 16, 1))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 16, 1))
     variables = jinit(model, x)
-    heads, feats = japply(model, variables, x)
-    assert len(heads) == 2
-    assert heads[0].shape == heads[1].shape == (1, 16, 16, 16, 2)
+    out_tanh, out_seg = japply(model, variables, x)
+    assert out_tanh.shape == out_seg.shape == (1, 16, 16, 16, 2)
+    assert float(jnp.abs(out_tanh).max()) <= 1.0
 
 
 def test_unet3d_nonresidual_param_reduction():
