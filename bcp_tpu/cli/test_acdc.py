@@ -60,9 +60,21 @@ def inference(args):
                             f"{args.model}_predictions")
     os.makedirs(pred_dir, exist_ok=True)
     totals = np.zeros((cfg.num_classes - 1, 4))
-    for i in range(len(ds)):
-        image, label = ds.load(i)
-        per_class, pred = evaluator.test_volume(variables, image, label)
+
+    # pipelined: device forwards of volumes i+1..i+3 run while the host
+    # computes medpy metrics / writes NIfTIs for volume i
+    loaded = []
+
+    def _images():
+        for idx in range(len(ds)):
+            case = ds.load(idx)
+            loaded.append(case)
+            yield case[0]
+
+    for i, pred in enumerate(
+            evaluator.predict_volumes(variables, _images())):
+        image, label = loaded[i]
+        per_class = evaluator.metrics_for(pred, label)
         if args.save_result:
             case = ds.cases[i]
             for tag, vol in (("pred", pred), ("img", image),

@@ -74,10 +74,21 @@ def test_calculate_metric(args):
     out_dir = snapshot_dir(cfg, f"{cfg.net_type}_predictions")
     os.makedirs(out_dir, exist_ok=True)
     total = np.zeros(4)
-    for ith in range(len(ds)):
-        image, label = ds.load(ith)
-        pred, _ = evaluator.infer(variables, image, rule=cfg.eval_rule,
-                                  return_score=False)
+
+    # pipelined: volume ith+1..ith+3 compute on device while the host
+    # runs NMS + medpy metrics + NIfTI writes for volume ith
+    loaded = []
+
+    def _images():
+        for ith in range(len(ds)):
+            case = ds.load(ith)
+            loaded.append(case)
+            yield case[0]
+
+    for ith, pred in enumerate(
+            evaluator.infer_cases(variables, _images(),
+                                  rule=cfg.eval_rule)):
+        image, label = loaded[ith]
         if args.nms:
             pred = host_largest_cc(pred)
         if pred.sum() == 0:

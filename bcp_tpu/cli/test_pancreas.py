@@ -61,12 +61,21 @@ def main(argv=None):
                             "predictions")
     os.makedirs(pred_dir, exist_ok=True)
     total = np.zeros(4)
-    for i in range(len(ds)):
-        image, label = ds.load(i)
-        image, label = pancreas_test_transform(image, label,
+
+    # pipelined: the host's center-crop transform + medpy metrics for
+    # volume i overlap device compute of volumes i+1..i+3
+    loaded = []
+
+    def _images():
+        for idx in range(len(ds)):
+            img, lab = pancreas_test_transform(*ds.load(idx),
                                                cfg.patch_size)
-        pred, _ = evaluator.infer(variables, image, rule="argmax",
-                                  return_score=False)
+            loaded.append((img, lab))
+            yield img
+
+    for i, pred in enumerate(
+            evaluator.infer_cases(variables, _images(), rule="argmax")):
+        image, label = loaded[i]
         m = ((0.0, 0.0, 0.0, 0.0) if pred.sum() == 0
              else calculate_metric_percase(pred, label))
         if args.detail:

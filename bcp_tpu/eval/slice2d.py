@@ -61,15 +61,18 @@ class Slice2DEvaluator:
                 logits = sum(one(v) for v in variables) / len(variables)
             else:
                 logits = one(variables)
-            return jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)
+            # uint8 labels: 4x fewer fetch bytes through a tunneled chip
+            return jnp.argmax(jax.nn.softmax(logits, axis=-1),
+                              axis=-1).astype(jnp.uint8)
 
         self._fns[n] = forward
         return forward
 
-    def predict_volume(self, variables, image: np.ndarray) -> np.ndarray:
-        """image (n_slices, H, W) -> label volume, argmax rule
-        (`val_2d.py:27-37`: nearest zoom to patch, net, argmax, zoom
-        back)."""
+    def predict_async(self, variables, image: np.ndarray):
+        """Dispatch one volume without blocking (JAX dispatch is async);
+        pass the handle to :meth:`predict_fetch`. Lets callers overlap
+        the host zooms/metrics of one volume with device compute of the
+        next."""
         if isinstance(variables, (list, tuple)):
             variables = tuple(variables)
         n, x, y = image.shape
@@ -90,10 +93,33 @@ class Slice2DEvaluator:
         if self.mesh is not None:
             x_dev = jax.device_put(x_dev, self._batch_sharded)
         out = self._fn(padded_n)(variables, x_dev)
-        out = np.asarray(out)[:n]
-        pred = ndimage.zoom(
+        return out, n, x, y
+
+    def predict_fetch(self, handle) -> np.ndarray:
+        out_dev, n, x, y = handle
+        out = np.asarray(out_dev)[:n]
+        return ndimage.zoom(
             out, (1.0, x / self.patch[0], y / self.patch[1]), order=0)
-        return pred
+
+    def predict_volume(self, variables, image: np.ndarray) -> np.ndarray:
+        """image (n_slices, H, W) -> label volume, argmax rule
+        (`val_2d.py:27-37`: nearest zoom to patch, net, argmax, zoom
+        back)."""
+        return self.predict_fetch(self.predict_async(variables, image))
+
+    def predict_volumes(self, variables, images, depth: int = 3):
+        """Software-pipelined prediction over an iterable of volumes:
+        up to ``depth`` volumes in flight so host zooms and caller-side
+        metric work overlap device compute. Yields label volumes in
+        order."""
+        from collections import deque
+        q: deque = deque()
+        for image in images:
+            q.append(self.predict_async(variables, image))
+            if len(q) > depth:
+                yield self.predict_fetch(q.popleft())
+        while q:
+            yield self.predict_fetch(q.popleft())
 
     def validate_volume(self, variables, image, label
                         ) -> List[Tuple[float, float]]:
@@ -103,10 +129,24 @@ class Slice2DEvaluator:
         return [M.calculate_dice_hd95(pred == c, label == c)
                 for c in range(1, self.num_classes)]
 
-    def test_volume(self, variables, image, label):
+    def validate_volumes(self, variables, cases
+                         ) -> List[List[Tuple[float, float]]]:
+        """Pipelined :meth:`validate_volume` over (image, label) pairs:
+        the host-side hd95 distance transforms of volume i run while the
+        device computes volume i+1..i+depth."""
+        preds = self.predict_volumes(variables,
+                                     (img for img, _ in cases))
+        out = []
+        for pred, (_, label) in zip(preds, cases):
+            out.append([M.calculate_dice_hd95(pred == c, label == c)
+                        for c in range(1, self.num_classes)])
+        return out
+
+    def metrics_for(self, pred, label) -> List[Tuple[float, float,
+                                                     float, float]]:
         """Per-class (dice, jc, hd95, asd) with zero-pred guard —
-        `test_ACDC.test_single_volume` (`test_ACDC.py:36-79`)."""
-        pred = self.predict_volume(variables, image)
+        the metric half of `test_ACDC.test_single_volume`
+        (`test_ACDC.py:36-79`)."""
         out = []
         for c in range(1, self.num_classes):
             pc, gc = pred == c, label == c
@@ -118,4 +158,10 @@ class Slice2DEvaluator:
                 h = M.hd95(pc, gc)
                 a = M.asd(pc, gc)
                 out.append((dice, jc, h, a))
-        return out, pred
+        return out
+
+    def test_volume(self, variables, image, label):
+        """Per-class (dice, jc, hd95, asd) with zero-pred guard —
+        `test_ACDC.test_single_volume` (`test_ACDC.py:36-79`)."""
+        pred = self.predict_volume(variables, image)
+        return self.metrics_for(pred, label), pred

@@ -159,11 +159,16 @@ class SlidingWindowEvaluator:
         return jax.lax.fori_loop(0, starts.shape[0], body, score)
 
     # -- jitted whole-volume processor --------------------------------
-    def _volume_fn(self, vol_shape: Tuple[int, ...], n_chunks: int):
+    def _volume_fn(self, vol_shape: Tuple[int, ...], n_chunks: int,
+                   rule: str):
         """One XLA program runs every window chunk of a volume via an
         inner ``fori_loop`` — on a tunneled/remote device the per-chunk
         dispatch round-trips add up (~13 sequential dispatches per LA
-        volume); fusing the loop removes all but one.
+        volume); fusing the loop removes all but one. The count-map
+        normalisation and the decision rule live INSIDE the same program
+        (round-4: the eager ``score/cnt`` + argmax/threshold + cast chain
+        was 4 extra dispatch round-trips per volume on a tunneled chip,
+        and the label fetch is 1 byte/voxel instead of C floats).
 
         Under a mesh the same program body runs per-device inside
         ``shard_map``: the window grid is sharded over devices, each
@@ -173,7 +178,7 @@ class SlidingWindowEvaluator:
         This replaces the round-2 per-chunk path, which re-dispatched per
         chunk and all-gathered window probs into every device's
         replicated map (forfeiting the Pallas kernel entirely)."""
-        key = (*vol_shape, n_chunks)
+        key = (*vol_shape, n_chunks, rule)
         if key in self._volume_fns:
             return self._volume_fns[key]
         # per-device windows per chunk (== self.batch on one device)
@@ -186,23 +191,36 @@ class SlidingWindowEvaluator:
                 return self._process_chunk(variables, volume, s, v, sc)
             return jax.lax.fori_loop(0, n_chunks, chunk, score)
 
+        score_shape = (*vol_shape, self.num_classes)
+
         if self.mesh is None:
-            process_all = jax.jit(run_chunks)
+            def score_fn(variables, volume, starts, valid):
+                return run_chunks(variables, volume, starts, valid,
+                                  jnp.zeros(score_shape, jnp.float32))
         else:
             from functools import partial
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
             ax = self.mesh.axis_names[0]
 
-            @jax.jit
             @partial(shard_map, mesh=self.mesh,
-                     in_specs=(P(), P(), P(ax), P(ax), P()),
+                     in_specs=(P(), P(), P(ax), P(ax)),
                      out_specs=P(),
                      check_vma=False)
-            def process_all(variables, volume, starts, valid, score):
+            def score_fn(variables, volume, starts, valid):
                 local = run_chunks(variables, volume, starts, valid,
-                                   score)
+                                   jnp.zeros(score_shape, jnp.float32))
                 return jax.lax.psum(local, ax)
+
+        @jax.jit
+        def process_all(variables, volume, starts, valid, cnt):
+            sc = score_fn(variables, volume, starts, valid)
+            sc = sc / cnt[..., None]
+            if rule == "argmax":
+                label = jnp.argmax(sc, axis=-1).astype(jnp.uint8)
+            else:   # class-1 prob > 0.5 (`test_3d_patch.py:137`)
+                label = (sc[..., 1] > 0.5).astype(jnp.uint8)
+            return label, sc
 
         self._volume_fns[key] = process_all
         return process_all
@@ -233,17 +251,14 @@ class SlidingWindowEvaluator:
         return dev
 
     # -- public API -----------------------------------------------------
-    def infer(self, variables, image: np.ndarray,
-              rule: str = "threshold", return_score: bool = True
-              ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        """Run one volume; returns (label_map, score_map[C,...]-first) with
-        the reference's decision rules: 'threshold' = class-1 prob > 0.5
-        (`test_3d_patch.py:137`), 'argmax' (`pancreas/test_util.py:146`).
-
-        ``variables`` may be a list/tuple of variable dicts for the
-        two-model ensemble variants (`test_all_case_plus`,
-        `var_all_case_LA_plus`, `test_3d_patch.py:144-266`).
-        """
+    def infer_async(self, variables, image: np.ndarray,
+                    rule: str = "threshold",
+                    return_score: bool = True):
+        """Dispatch one volume and return an opaque handle WITHOUT
+        blocking on the result — JAX dispatch is asynchronous, so the
+        caller can overlap host work (metrics, NMS, the next volume's
+        padding/upload) with device compute. Pass the handle to
+        :meth:`infer_fetch`."""
         if isinstance(variables, (list, tuple)):
             variables = tuple(variables)
         orig_shape = image.shape
@@ -259,10 +274,8 @@ class SlidingWindowEvaluator:
                 mode="constant", constant_values=0)
 
         volume = jnp.asarray(image)
-        score = jnp.zeros((*padded, self.num_classes), jnp.float32)
         if self.mesh is not None:
             volume = jax.device_put(volume, self._replicated)
-            score = jax.device_put(score, self._replicated)
         cnt = self._count_map(starts, padded)
 
         B = self.batch
@@ -274,7 +287,7 @@ class SlidingWindowEvaluator:
                                 np.zeros(pad_n, np.float32)])
         all_starts = np.concatenate(
             [starts, np.zeros((pad_n, 3), np.int32)])
-        process_all = self._volume_fn(padded, n_chunks)
+        process_all = self._volume_fn(padded, n_chunks, rule)
         if self.mesh is None:
             starts_dev = jnp.asarray(all_starts)
             valid_dev = jnp.asarray(valid)
@@ -292,28 +305,47 @@ class SlidingWindowEvaluator:
                                         self._batch_sharded)
             valid_dev = jax.device_put(jnp.asarray(valid),
                                        self._batch_sharded)
-        score = process_all(variables, volume, starts_dev, valid_dev,
-                            score)
+        label_dev, score_dev = process_all(variables, volume, starts_dev,
+                                           valid_dev, cnt)
+        # drop the score reference when unwanted so its HBM buffer frees
+        # as soon as the program retires
+        return (label_dev, score_dev if return_score else None,
+                orig_shape, off, grid_shape)
 
-        score = score / cnt[..., None]
-        if rule == "argmax":
-            label = jnp.argmax(score, axis=-1)
-        else:
-            label = (score[..., 1] > 0.5).astype(jnp.int32)
-
+    def infer_fetch(self, handle) -> Tuple[np.ndarray,
+                                           Optional[np.ndarray]]:
+        """Block on a handle from :meth:`infer_async`; returns
+        (label_map, score_map[C-first] or None) cropped to the original
+        volume shape."""
+        label_dev, score_dev, orig_shape, off, grid_shape = handle
         # fetch the label map as uint8 — the full f32 score map is ~10x
         # the bytes and only the offline CLIs need it
-        label = np.asarray(label.astype(jnp.uint8)).astype(np.int32)
+        label = np.asarray(label_dev).astype(np.int32)
         # crop bucket padding, then the pad-to-patch padding
         sl = tuple(slice(o, o + s) for o, s in zip(off, orig_shape))
         label = label[tuple(slice(0, s) for s in grid_shape)][sl]
-        if not return_score:
+        if score_dev is None:
             return label, None
-        score = np.asarray(score)
+        score = np.asarray(score_dev)
         score = np.moveaxis(
             score[tuple(slice(0, s) for s in grid_shape) + (slice(None),)],
             -1, 0)[(slice(None),) + sl]
         return label, score
+
+    def infer(self, variables, image: np.ndarray,
+              rule: str = "threshold", return_score: bool = True
+              ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Run one volume; returns (label_map, score_map[C,...]-first) with
+        the reference's decision rules: 'threshold' = class-1 prob > 0.5
+        (`test_3d_patch.py:137`), 'argmax' (`pancreas/test_util.py:146`).
+
+        ``variables`` may be a list/tuple of variable dicts for the
+        two-model ensemble variants (`test_all_case_plus`,
+        `var_all_case_LA_plus`, `test_3d_patch.py:144-266`).
+        """
+        return self.infer_fetch(
+            self.infer_async(variables, image, rule=rule,
+                             return_score=return_score))
 
     def evaluate_case(self, variables, image, label, nms: bool = False,
                       rule: str = "threshold"):
@@ -326,14 +358,34 @@ class SlidingWindowEvaluator:
             return (0.0, 0.0, 0.0, 0.0), pred
         return M.calculate_metric_percase(pred, label[:]), pred
 
+    def infer_cases(self, variables, images, rule: str = "threshold",
+                    depth: int = 3):
+        """Software-pipelined inference over an iterable of volumes:
+        keep up to ``depth`` volumes in flight (dispatch is async) so the
+        per-volume host work — padding, upload, label fetch, and whatever
+        the caller does between yields (medpy metrics, NMS, NIfTI writes)
+        — overlaps device compute of the volumes behind it. Yields label
+        maps in order."""
+        from collections import deque
+        q: deque = deque()
+        for image in images:
+            q.append(self.infer_async(variables, image, rule=rule,
+                                      return_score=False))
+            if len(q) > depth:
+                yield self.infer_fetch(q.popleft())[0]
+        while q:
+            yield self.infer_fetch(q.popleft())[0]
+
     def validate_dice(self, variables, cases, rule: str = "threshold"):
         """`var_all_case_LA` (`test_3d_patch.py:20-39`): mean Dice over a
         case list, no NMS, zero-pred counts as 0."""
         from bcp_tpu.eval import metrics as M
+        labels = [lab for _, lab in cases]
         total = 0.0
-        for image, label in cases:
-            pred, _ = self.infer(variables, image, rule=rule,
-                                 return_score=False)
+        for pred, label in zip(
+                self.infer_cases(variables,
+                                 (img for img, _ in cases), rule=rule),
+                labels):
             total += (M.dice_binary(pred, label)
                       if pred.sum() > 0 else 0.0)
         return total / max(len(cases), 1)

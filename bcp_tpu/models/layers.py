@@ -132,6 +132,16 @@ def _zpacked_bwd(z_tile, res, dy):
     # (BCP_MERGED_CHAINS=1).
     x, w = res
     dy = dy.astype(x.dtype)
+    if (os.environ.get("BCP_FUSED_BWD", "0") == "1"
+            and jax.default_backend() == "tpu"):
+        # round-4 experiment (verdict #3): ONE Pallas call computing the
+        # dx+dw pair — the standalone dw kernel fragmented XLA's
+        # backward schedule at its boundary; fusing dx into the same
+        # call removes that boundary. Ci == Co stages only.
+        from bcp_tpu.ops import conv3d as _c3d
+        tiles = _c3d.fused_bwd_eligible(x.shape, w.shape)
+        if tiles is not None:
+            return _c3d.conv3x3x3_dxdw(x, dy, w, tiles)
     wt = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     dx = _zpacked_conv3d(dy, wt, z_tile)
     # (A third dw substitution — tap-wise dot_generals contracting the

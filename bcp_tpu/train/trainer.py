@@ -164,18 +164,17 @@ class BCPTrainer:
             return self.evaluator.validate_dice(variables, cases,
                                                 rule=cfg.eval_rule)
         if cfg.variant == "acdc":
-            per_case = [np.array(self.evaluator.validate_volume(
-                variables, img, lab)) for img, lab in cases]
+            per_case = [np.array(m) for m in
+                        self.evaluator.validate_volumes(variables, cases)]
             metric = np.mean(per_case, axis=0)       # (classes-1, 2)
             self._last_val_per_class = metric        # for info/val_* tags
             return float(metric[:, 0].mean())        # mean dice
         # pancreas: mean dice over center-cropped test volumes, argmax rule
+        from bcp_tpu.eval.metrics import dice_binary
         total = 0.0
-        for image, label in cases:
-            pred, _ = self.evaluator.infer(variables, image,
-                                           rule=cfg.eval_rule,
-                                           return_score=False)
-            from bcp_tpu.eval.metrics import dice_binary
+        preds = self.evaluator.infer_cases(
+            variables, (img for img, _ in cases), rule=cfg.eval_rule)
+        for pred, (_, label) in zip(preds, cases):
             total += dice_binary(pred, label) if pred.sum() > 0 else 0.0
         return total / max(len(cases), 1)
 
@@ -311,6 +310,7 @@ class BCPTrainer:
 
         t0 = time.time()
         start = int(state.step)
+        val_seconds = 0.0   # validation + checkpoint pauses (wall)
         pending = None   # (first_it, device metrics) awaiting fetch
         for itk in range(start + 1, max_iterations + 1, K):
             it = itk + K - 1      # last sub-step of this dispatch group
@@ -394,6 +394,7 @@ class BCPTrainer:
                 if pending is not None:   # keep log lines in step order
                     emit_metrics(*pending)
                     pending = None
+                tv0 = time.time()
                 dice_sample = self.validate(state)
                 if dice_sample > best_dice:
                     best_dice = round(dice_sample, 4)
@@ -403,6 +404,7 @@ class BCPTrainer:
                     self.ckpt.save(best_path, state)
                     logger.info("save best model to %s", tagged)
                 self.ckpt.save(last_path, state)
+                val_seconds += time.time() - tv0
                 self._val_tags(writer, stage, dice_sample, best_dice, it)
 
         if pending is not None:   # flush the last step's metrics
@@ -424,8 +426,10 @@ class BCPTrainer:
         dt = time.time() - t0
         done = max_iterations - start
         logger.info("stage %s done: %d steps in %.1fs (%.3f s/step), "
+                    "validation+ckpt pauses %.1fs (%.1f%%), "
                     "best dice %.4f", stage, done, dt,
-                    dt / max(done, 1), best_dice)
+                    dt / max(done, 1), val_seconds,
+                    100.0 * val_seconds / max(dt, 1e-9), best_dice)
         feeder.close()
         writer.close()
         return best_dice, best_path

@@ -1,0 +1,155 @@
+"""Full-length two-stage LA wall-clock artifact (round-4 verdict #1).
+
+Runs the REAL `cli/train_la.py` end-to-end — the reference's full
+schedule of 2k pre-train + 15k self-train iterations with validation
+every 200 (`LA_BCP_train.py:351-371`) — on synthetic LA-shaped data with
+the vendored split sizes (80 train volumes, 8 labeled; 20 test volumes),
+112x112x80 patches, and writes `RUN_LA_r04.json` with the quantities the
+north-star claim is about: per-stage wall-clock including compiles, feed
+warm-up, all validation pauses and checkpoint writes.
+
+Usage: python scripts/run_full_la.py [--out RUN_LA_r04.json]
+       [--data /tmp/run_la_data] [--snap /tmp/run_la_snap]
+       [--pre 2000] [--self 15000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STAGE_RE = re.compile(
+    r"stage (?P<stage>\w+) done: (?P<steps>\d+) steps in "
+    r"(?P<wall>[\d.]+)s \((?P<per>[\d.]+) s/step\), "
+    r"validation\+ckpt pauses (?P<val>[\d.]+)s \((?P<valpct>[\d.]+)%\), "
+    r"best dice (?P<dice>[\d.]+)")
+
+
+def parse_stage_log(path: str):
+    """Stage summary + the per-200-iteration block-time distribution
+    from the log's own timestamps (format '%(asctime)s ...')."""
+    out = {}
+    ts = []
+    with open(path) as f:
+        for line in f:
+            m = STAGE_RE.search(line)
+            if m:
+                out = {k: (v if k == "stage" else float(v))
+                       for k, v in m.groupdict().items()}
+            m2 = re.match(r"\[(\d+:\d+:\d+)\.(\d+)\] iteration (\d+) ",
+                          line)
+            if m2:
+                h, mi, s = m2.group(1).split(":")
+                ts.append((int(m2.group(3)),
+                           int(h) * 3600 + int(mi) * 60 + int(s)
+                           + int(m2.group(2)) / 1000.0))
+    blocks = []
+    for (i0, t0), (i1, t1) in zip(ts, ts[1:]):
+        if t1 < t0:          # %H:%M:%S wraps at midnight
+            t1 += 86400.0
+        if i1 > i0:
+            blocks.append((t1 - t0) / (i1 - i0))
+    dist = {}
+    if blocks:
+        import numpy as np
+        a = np.asarray(blocks)
+        dist = {"blocks": len(blocks),
+                "s_per_iter_p10": round(float(np.percentile(a, 10)), 4),
+                "s_per_iter_p50": round(float(np.percentile(a, 50)), 4),
+                "s_per_iter_p90": round(float(np.percentile(a, 90)), 4),
+                "s_per_iter_max": round(float(a.max()), 4)}
+    out["block_time_distribution"] = dist
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "RUN_LA_r04.json"))
+    ap.add_argument("--data", default="/tmp/run_la_data")
+    ap.add_argument("--snap", default="/tmp/run_la_snap")
+    ap.add_argument("--pre", type=int, default=2000)
+    ap.add_argument("--self", dest="self_it", type=int, default=15000)
+    ap.add_argument("--shape", type=int, nargs=3, default=(180, 150, 88),
+                    help="synthetic volume shape (>= 112x112x80 patch)")
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.data, "train.list")):
+        from bcp_tpu.data import synthetic
+        synthetic.make_la_dataset(args.data, n_train=80, n_test=20,
+                                  shape=tuple(args.shape))
+        print(f"synthetic LA dataset at {args.data} "
+              f"(80 train / 20 test, {args.shape})")
+
+    cmd = [sys.executable, "-m", "bcp_tpu.cli.train_la",
+           "--root_path", args.data, "--labelnum", "8",
+           "--max_samples", "80",
+           "--pre_max_iteration", str(args.pre),
+           "--self_max_iteration", str(args.self_it),
+           "--snapshot_root", args.snap]
+    print("running:", " ".join(cmd), flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(f"train_la FAILED rc={proc.returncode}")
+        sys.exit(proc.returncode)
+
+    exp_dir = None
+    for root, dirs, files in os.walk(args.snap):
+        if "pre_train" in dirs and "self_train" in dirs:
+            exp_dir = root
+            break
+    stages = {}
+    for stage in ("pre_train", "self_train"):
+        logp = os.path.join(exp_dir, stage, "log.txt")
+        stages[stage] = parse_stage_log(logp) if os.path.exists(logp) \
+            else {"error": f"missing {logp}"}
+
+    total_iters = args.pre + args.self_it
+    n_val = total_iters // 200
+    # reference wall-clock estimate for the same schedule (BASELINE.md
+    # band: 0.26-0.71 s/iter on the RTX 3090, 0.75 s/iter assumed
+    # central); validations add ~60 windows x 20 volumes at one batch-1
+    # forward + 2 PCIe crossings each (~30-60 ms/window) per pause.
+    ref_band_s = [total_iters * 0.26, total_iters * 0.71]
+    ref_central_s = total_iters * 0.75
+    ref_val_s = n_val * 20 * 60 * 0.045   # central window cost estimate
+    artifact = {
+        "metric": "LA full-schedule wall-clock (2k pre + 15k self, "
+                  "eval every 200, batch 8, 112x112x80)",
+        "total_wall_s": round(wall, 1),
+        "stages": stages,
+        "n_validations": n_val,
+        "hardware": "1x TPU v5e chip (axon tunnel)",
+        "command": " ".join(cmd),
+        "reference_counterpart": "code/LA_BCP_train.py:351-371 "
+                                 "(2000+15000 iterations, val every 200)",
+        "reference_estimate_s": {
+            "train_band": [round(x, 0) for x in ref_band_s],
+            "train_central": round(ref_central_s, 0),
+            "validation_central": round(ref_val_s, 0),
+            "derivation": "BASELINE.md throughput band 0.26-0.71 s/iter "
+                          "(0.75 central) x 17k iters; validation = 85 "
+                          "pauses x 20 volumes x ~60 windows x ~45 ms "
+                          "batch-1 dispatch",
+        },
+        "vs_reference_central": round(
+            (ref_central_s + ref_val_s) / wall, 2),
+        "vs_reference_band": [
+            round((ref_band_s[0] + ref_val_s) / wall, 2),
+            round((ref_band_s[1] + ref_val_s) / wall, 2)],
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact, indent=1))
+
+
+if __name__ == "__main__":
+    main()

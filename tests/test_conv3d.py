@@ -226,3 +226,34 @@ def test_pallas_dw_matches_vjp_on_tpu():
     ref, = vjp(jnp.asarray(dy))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 4, 8, 8, 16),      # G=8, single z tile
+    (2, 4, 8, 16, 16),     # two z tiles
+    (1, 2, 8, 8, 32),      # G=4
+])
+def test_fused_dxdw_matches_direct_vjp(shape):
+    """The fused backward pair (one pallas_call, two outputs) ==
+    XLA's conv VJP on both cotangents (interpret mode)."""
+    B, X, Y, Z, C = shape
+    x, w = _case(B, X, Y, Z, C, C)
+    rng = np.random.default_rng(7)
+    dy = rng.normal(size=(B, X, Y, Z, C)).astype(np.float32)
+    tiles = conv3d.fused_bwd_eligible(x.shape, w.shape)
+    assert tiles is not None
+    dx, dw = conv3d.conv3x3x3_dxdw(jnp.asarray(x), jnp.asarray(dy),
+                                   jnp.asarray(w), tiles,
+                                   interpret=True)
+    _, vjp = jax.vjp(lambda xv, wv: conv3d._direct(xv, wv),
+                     jnp.asarray(x), jnp.asarray(w))
+    dx_ref, dw_ref = vjp(jnp.asarray(dy))
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bwd_requires_equal_channels():
+    assert conv3d.fused_bwd_eligible((1, 4, 8, 8, 32),
+                                     (3, 3, 3, 32, 16)) is None
