@@ -44,6 +44,9 @@ class Slice2DEvaluator:
             self._batch_sharded = None
         self.slice_bucket = slice_bucket
         self._fns: Dict[int, callable] = {}
+        # device-resident zoomed volumes keyed by caller token (static
+        # validation sets): skips the host zoom + upload per validation
+        self._prep_cache: Dict = {}
 
     def _fn(self, n: int):
         if n in self._fns:
@@ -68,30 +71,38 @@ class Slice2DEvaluator:
         self._fns[n] = forward
         return forward
 
-    def predict_async(self, variables, image: np.ndarray):
+    def predict_async(self, variables, image: np.ndarray,
+                      cache_token=None):
         """Dispatch one volume without blocking (JAX dispatch is async);
         pass the handle to :meth:`predict_fetch`. Lets callers overlap
         the host zooms/metrics of one volume with device compute of the
-        next."""
+        next. ``cache_token`` reuses the zoomed device volume across
+        calls (static validation sets)."""
         if isinstance(variables, (list, tuple)):
             variables = tuple(variables)
-        n, x, y = image.shape
-        # one 3-D zoom call == the reference's per-slice loop
-        # (`val_2d.py:27`): a slice-axis factor of exactly 1.0 maps
-        # output index i to input index i, and the in-plane nearest
-        # mapping is per-axis, so the results are bit-identical
-        # (asserted in test_eval.py) at ~1/20th the host overhead.
-        zoomed = ndimage.zoom(
-            image, (1.0, self.patch[0] / x, self.patch[1] / y),
-            order=0).astype(np.float32)
-        b = self.slice_bucket
-        padded_n = int(math.ceil(n / b) * b)
-        if padded_n != n:
-            zoomed = np.concatenate(
-                [zoomed, np.zeros((padded_n - n, *self.patch), np.float32)])
-        x_dev = jnp.asarray(zoomed[..., None])
-        if self.mesh is not None:
-            x_dev = jax.device_put(x_dev, self._batch_sharded)
+        if cache_token is not None and cache_token in self._prep_cache:
+            x_dev, padded_n, n, x, y = self._prep_cache[cache_token]
+        else:
+            n, x, y = image.shape
+            # one 3-D zoom call == the reference's per-slice loop
+            # (`val_2d.py:27`): a slice-axis factor of exactly 1.0 maps
+            # output index i to input index i, and the in-plane nearest
+            # mapping is per-axis, so the results are bit-identical
+            # (asserted in test_eval.py) at ~1/20th the host overhead.
+            zoomed = ndimage.zoom(
+                image, (1.0, self.patch[0] / x, self.patch[1] / y),
+                order=0).astype(np.float32)
+            b = self.slice_bucket
+            padded_n = int(math.ceil(n / b) * b)
+            if padded_n != n:
+                zoomed = np.concatenate(
+                    [zoomed,
+                     np.zeros((padded_n - n, *self.patch), np.float32)])
+            x_dev = jnp.asarray(zoomed[..., None])
+            if self.mesh is not None:
+                x_dev = jax.device_put(x_dev, self._batch_sharded)
+            if cache_token is not None:
+                self._prep_cache[cache_token] = (x_dev, padded_n, n, x, y)
         out = self._fn(padded_n)(variables, x_dev)
         return out, n, x, y
 
@@ -107,15 +118,19 @@ class Slice2DEvaluator:
         back)."""
         return self.predict_fetch(self.predict_async(variables, image))
 
-    def predict_volumes(self, variables, images, depth: int = 3):
+    def predict_volumes(self, variables, images, depth: int = 3,
+                        cache_tokens=None):
         """Software-pipelined prediction over an iterable of volumes:
         up to ``depth`` volumes in flight so host zooms and caller-side
         metric work overlap device compute. Yields label volumes in
         order."""
         from collections import deque
+        from itertools import repeat
         q: deque = deque()
-        for image in images:
-            q.append(self.predict_async(variables, image))
+        toks = repeat(None) if cache_tokens is None else iter(cache_tokens)
+        for image, tok in zip(images, toks):
+            q.append(self.predict_async(variables, image,
+                                        cache_token=tok))
             if len(q) > depth:
                 yield self.predict_fetch(q.popleft())
         while q:
@@ -129,13 +144,17 @@ class Slice2DEvaluator:
         return [M.calculate_dice_hd95(pred == c, label == c)
                 for c in range(1, self.num_classes)]
 
-    def validate_volumes(self, variables, cases
+    def validate_volumes(self, variables, cases, cache: bool = False
                          ) -> List[List[Tuple[float, float]]]:
         """Pipelined :meth:`validate_volume` over (image, label) pairs:
         the host-side hd95 distance transforms of volume i run while the
-        device computes volume i+1..i+depth."""
+        device computes volume i+1..i+depth. ``cache=True`` keeps the
+        zoomed volumes device-resident across calls."""
+        tokens = (("val", i) for i in range(len(cases))) if cache \
+            else None
         preds = self.predict_volumes(variables,
-                                     (img for img, _ in cases))
+                                     (img for img, _ in cases),
+                                     cache_tokens=tokens)
         out = []
         for pred, (_, label) in zip(preds, cases):
             out.append([M.calculate_dice_hd95(pred == c, label == c)

@@ -49,6 +49,18 @@ class CheckpointIO:
         self._ckpt.save(path, args=ocp.args.PyTreeSave(_sections(state)),
                         force=True)
 
+    def save_many(self, paths, state: TrainState):
+        """Save the same state to several paths (tagged + best + last at
+        a validation boundary) with ONE device->host fetch: on a
+        tunneled device each orbax save of the device tree re-pulls
+        ~115 MB of params/teacher/opt through the link; fetching once
+        and saving the host copy N times makes the extra aliases pure
+        disk writes."""
+        host = jax.device_get(_sections(state))
+        for path in paths:
+            self._ckpt.save(os.path.abspath(path),
+                            args=ocp.args.PyTreeSave(host), force=True)
+
     def _restore_sections(self, path: str, template: Dict[str, Any],
                           partial: bool) -> Dict[str, Any]:
         path = os.path.abspath(path)

@@ -160,12 +160,17 @@ class BCPTrainer:
         cases = self._load_val_cases()
         variables = self._eval_variables(state)
         self._last_val_per_class = None
+        # cache=True: the validation set is fixed for the whole run, so
+        # the evaluators keep the prepared volumes device-resident
+        # instead of re-uploading every 200 iterations
         if cfg.variant == "la":
             return self.evaluator.validate_dice(variables, cases,
-                                                rule=cfg.eval_rule)
+                                                rule=cfg.eval_rule,
+                                                cache=True)
         if cfg.variant == "acdc":
             per_case = [np.array(m) for m in
-                        self.evaluator.validate_volumes(variables, cases)]
+                        self.evaluator.validate_volumes(variables, cases,
+                                                        cache=True)]
             metric = np.mean(per_case, axis=0)       # (classes-1, 2)
             self._last_val_per_class = metric        # for info/val_* tags
             return float(metric[:, 0].mean())        # mean dice
@@ -173,7 +178,8 @@ class BCPTrainer:
         from bcp_tpu.eval.metrics import dice_binary
         total = 0.0
         preds = self.evaluator.infer_cases(
-            variables, (img for img, _ in cases), rule=cfg.eval_rule)
+            variables, (img for img, _ in cases), rule=cfg.eval_rule,
+            cache_tokens=(("val", i) for i in range(len(cases))))
         for pred, (_, label) in zip(preds, cases):
             total += dice_binary(pred, label) if pred.sum() > 0 else 0.0
         return total / max(len(cases), 1)
@@ -400,10 +406,11 @@ class BCPTrainer:
                     best_dice = round(dice_sample, 4)
                     tagged = os.path.join(
                         out_dir, f"iter_{it}_dice_{best_dice}")
-                    self.ckpt.save(tagged, state)
-                    self.ckpt.save(best_path, state)
+                    self.ckpt.save_many([tagged, best_path, last_path],
+                                        state)
                     logger.info("save best model to %s", tagged)
-                self.ckpt.save(last_path, state)
+                else:
+                    self.ckpt.save(last_path, state)
                 val_seconds += time.time() - tv0
                 self._val_tags(writer, stage, dice_sample, best_dice, it)
 
@@ -418,8 +425,7 @@ class BCPTrainer:
             # save at stage end.
             dice_sample = self.validate(state)
             best_dice = round(dice_sample, 4)
-            self.ckpt.save(best_path, state)
-            self.ckpt.save(last_path, state)
+            self.ckpt.save_many([best_path, last_path], state)
             logger.info("end-of-stage save (dice %.4f) to %s", best_dice,
                         best_path)
 

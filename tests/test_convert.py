@@ -25,15 +25,24 @@ torch = pytest.importorskip("torch")
 _REF = "/root/reference/code"
 
 
+_REF_MODULES = {}
+
+
 def _ref_module(subpath: str, name: str):
     """Import a reference network module by path (they are plain
-    single-file modules; pancreas/Vnet.py needs matplotlib)."""
+    single-file modules; pancreas/Vnet.py needs matplotlib). Cached per
+    path — exec'ing the module once per test re-pays torch module
+    construction (round-4 suite-time pass)."""
+    if subpath in _REF_MODULES:
+        sys.modules[name] = _REF_MODULES[subpath]
+        return _REF_MODULES[subpath]
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         name, os.path.join(_REF, subpath))
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
     spec.loader.exec_module(mod)
+    _REF_MODULES[subpath] = mod
     return mod
 
 
@@ -339,30 +348,40 @@ def test_export_roundtrips_pancreas():
                            torch.as_tensor(sd0[k])), k
 
 
-def test_export_cli_roundtrip(tmp_path):
-    """cli.export_torch writes a .pth whose tensors convert back to the
-    exact flax variables that were exported (full inverse-mapping
-    coverage on a really-trained tiny checkpoint)."""
-    from bcp_tpu.cli import export_torch
+@pytest.fixture(scope="module")
+def trained_la_snapshot(tmp_path_factory):
+    """ONE tiny reference-width (16-filter) LA pre-train shared by both
+    export-CLI tests (round-4 suite-time pass: each previously trained
+    its own)."""
     from bcp_tpu.config import la_config
     from bcp_tpu.data import synthetic
     from bcp_tpu.train.trainer import BCPTrainer
 
+    base = tmp_path_factory.mktemp("export_cli")
     root = synthetic.make_la_dataset(
-        str(tmp_path / "data"), n_train=6, n_test=1,
+        str(base / "data"), n_train=6, n_test=1,
         shape=(40, 40, 32), seed=11)
     cfg = la_config(labelnum=4).replace(
         root_path=root, patch_size=(32, 32, 16), batch_size=6,
-        labeled_bs=4, max_samples=6, n_filters=4,
+        labeled_bs=4, max_samples=6,
         pre_iterations=2, eval_every=2, stride_xy=12, stride_z=8,
-        eval_batch=4, snapshot_root=str(tmp_path / "snap"))
+        eval_batch=4, snapshot_root=str(base / "snap"))
     BCPTrainer(cfg).pretrain()
+    return cfg, base
 
+
+def test_export_cli_roundtrip(tmp_path, trained_la_snapshot):
+    """cli.export_torch writes a .pth whose tensors convert back to the
+    exact flax variables that were exported (full inverse-mapping
+    coverage on a really-trained tiny checkpoint)."""
+    from bcp_tpu.cli import export_torch
+
+    cfg, base = trained_la_snapshot
     out = tmp_path / "exported.pth"
     export_torch.main([
         "--variant", "la", "--labelnum", "4",
-        "--snapshot_root", str(tmp_path / "snap"),
-        "--stage_name", "pre_train", "--n_filters", "4",
+        "--snapshot_root", str(base / "snap"),
+        "--stage_name", "pre_train",
         "--out", str(out)])
     assert out.exists()
 
@@ -380,25 +399,15 @@ def test_export_cli_roundtrip(tmp_path):
         back)
 
 
-def test_export_cli_with_template_strict_loads(tmp_path):
+def test_export_cli_with_template_strict_loads(tmp_path,
+                                               trained_la_snapshot):
     """--template carries the reference's dead-head keys so the exported
     .pth loads at load_state_dict's strict default."""
     from bcp_tpu.cli import export_torch
-    from bcp_tpu.config import la_config
-    from bcp_tpu.data import synthetic
-    from bcp_tpu.train.trainer import BCPTrainer
 
-    # n_filters must match the reference module's width (16)
-    root = synthetic.make_la_dataset(
-        str(tmp_path / "data"), n_train=6, n_test=1,
-        shape=(40, 40, 32), seed=13)
-    cfg = la_config(labelnum=4).replace(
-        root_path=root, patch_size=(32, 32, 16), batch_size=6,
-        labeled_bs=4, max_samples=6,
-        pre_iterations=2, eval_every=2, stride_xy=12, stride_z=8,
-        eval_batch=4, snapshot_root=str(tmp_path / "snap"))
-    BCPTrainer(cfg).pretrain()
-
+    # n_filters must match the reference module's width (16) — the
+    # shared fixture trains at reference width
+    cfg, base = trained_la_snapshot
     ref = _ref_module("networks/VNet.py", "ref_vnet_cli_tpl")
     torch.manual_seed(14)
     tmodel = ref.VNet(n_channels=1, n_classes=2,
@@ -409,7 +418,7 @@ def test_export_cli_with_template_strict_loads(tmp_path):
     out = tmp_path / "exported.pth"
     export_torch.main([
         "--variant", "la", "--labelnum", "4",
-        "--snapshot_root", str(tmp_path / "snap"),
+        "--snapshot_root", str(base / "snap"),
         "--stage_name", "pre_train",
         "--template", str(tpl), "--out", str(out)])
     sd = torch.load(str(out), map_location="cpu", weights_only=False)

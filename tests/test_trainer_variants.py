@@ -68,15 +68,19 @@ def test_acdc_steps_per_dispatch(tmp_path_factory):
 def test_pancreas_steps_per_dispatch(tmp_path_factory):
     """K=2 fused dispatch on the pancreas host feed, with the epoch
     meters consuming the leading-stacked metrics per sub-step."""
+    # same shapes/config as test_pancreas_two_stage so every program
+    # except the K=2 train steps dedupes in the persistent compile
+    # cache (round-4 suite-time pass); non-cubic eval volumes are
+    # covered by test_eval.py
     root = synthetic.make_pancreas_dataset(
         str(tmp_path_factory.mktemp("panc_k_data")), n_lab=4, n_unlab=4,
-        n_test=1, shape=(36, 36, 28))
+        n_test=1, shape=(40, 40, 40))
     cfg = pancreas_config().replace(
-        root_path=root, patch_size=(32, 32, 16), mask_patch=16,
+        root_path=root, patch_size=(32, 32, 32), mask_patch=16,
         n_filters=4, batch_size=8, labeled_bs=4, labeled_oversample=2,
         steps_per_dispatch=2,
         pre_iterations=4, self_iterations=4, eval_every=2,
-        stride_xy=16, stride_z=8, eval_batch=4,
+        stride_xy=16, stride_z=16, eval_batch=4,
         snapshot_root=str(tmp_path_factory.mktemp("panc_k_snap")))
     trainer = BCPTrainer(cfg)
     pre_dice, pre_best = trainer.pretrain()
