@@ -24,6 +24,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 STAGE_RE = re.compile(
     r"stage (?P<stage>\w+) done: (?P<steps>\d+) steps in "
