@@ -1,0 +1,135 @@
+"""Full-schedule ACDC / pancreas wall-clock artifacts (round 4).
+
+Companions to `run_full_la.py` (which covers the LA north-star schedule):
+run the REAL `cli/train_acdc.py` / `cli/train_pancreas.py` end-to-end on
+synthetic data shaped like the vendored splits, over the reference's
+complete schedules —
+
+- ACDC (`ACDC_BCP_train.py:38,196-299`): 10 000 pre-train + 30 000
+  self-train iterations, validation every 200, batch 24 (12 labeled,
+  7 patients = 136 labeled slices of 1312).
+- pancreas (`pancreas/train_pancreas.py:30`): 60 pre-training epochs +
+  200 self-training epochs (1800 + 5000 iterations here), eval every 20
+  epochs, 12 labeled / 50 unlabeled volumes, 18 test volumes.
+
+and write `RUN_{VARIANT}_r04.json` with per-stage wall-clock including
+compiles, feed warm-up, validation pauses and checkpoint writes. The
+reference publishes no ACDC/pancreas throughput and BASELINE.md derives
+no GPU band for them, so unlike `RUN_LA_r04.json` these artifacts record
+the measured TPU wall-clock only (no `vs_reference` multiplier).
+
+Usage: python scripts/run_full_variants.py --variant acdc|pancreas
+       [--out RUN_X_r04.json] [--data DIR] [--snap DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from run_full_la import parse_stage_log  # noqa: E402  (same directory)
+
+
+def make_data(variant: str, root: str) -> None:
+    from bcp_tpu.data import synthetic
+    if variant == "acdc":
+        # vendored split sizes (bcp_tpu/data/splits/ACDC): 1312 train
+        # slices, 20 val volumes; representative 256x216 cine slices,
+        # 10 slices per val volume.
+        synthetic.make_acdc_dataset(root, n_train_slices=1312, n_val=20,
+                                    slice_shape=(256, 216), vol_depth=10)
+    else:
+        # reference pancreas split: 12 labeled / 50 unlabeled train
+        # volumes, 18 test; preprocessed volumes are pancreas-centered
+        # crops — 160x144x112 is representative and >= the 96^3 patch.
+        synthetic.make_pancreas_dataset(root, n_lab=12, n_unlab=50,
+                                        n_test=18, shape=(160, 144, 112))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", choices=("acdc", "pancreas"),
+                    required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--snap", default=None)
+    args = ap.parse_args()
+    v = args.variant
+    out = args.out or os.path.join(REPO, f"RUN_{v.upper()}_r04.json")
+    data = args.data or f"/tmp/run_{v}_data"
+    snap = args.snap or f"/tmp/run_{v}_snap"
+
+    marker = ("train_slices.list" if v == "acdc" else "train_lab.txt")
+    if not os.path.exists(os.path.join(data, marker)):
+        make_data(v, data)
+        print(f"synthetic {v} dataset at {data}")
+
+    if v == "acdc":
+        cmd = [sys.executable, "-m", "bcp_tpu.cli.train_acdc",
+               "--root_path", data, "--labelnum", "7",
+               "--pre_iterations", "10000", "--max_iterations", "30000",
+               "--snapshot_root", snap]
+        schedule = ("10k pre + 30k self, eval every 200, batch 24, "
+                    "256x256, 7 patients labeled")
+        ref = ("code/ACDC_BCP_train.py:38,196-299 (10000+30000 "
+               "iterations, val every 200)")
+    else:
+        cmd = [sys.executable, "-m", "bcp_tpu.cli.train_pancreas",
+               "--data_root", data,
+               "--pretraining_epochs", "60",
+               "--self_training_epochs", "200",
+               "--snapshot_root", snap]
+        schedule = ("60 pre epochs + 200 self epochs (1800+5000 iters), "
+                    "eval every 20 epochs, batch 8, 96x96x96, 12/62 "
+                    "labeled")
+        ref = ("code/pancreas/train_pancreas.py:30,64,122 (60+200 "
+               "epochs, eval every 20)")
+
+    print("running:", " ".join(cmd), flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(f"train_{v} FAILED rc={proc.returncode}")
+        sys.exit(proc.returncode)
+
+    exp_dir = None
+    for root_, dirs, _files in os.walk(snap):
+        if "pre_train" in dirs and "self_train" in dirs:
+            exp_dir = root_
+            break
+    stages = {}
+    for stage in ("pre_train", "self_train"):
+        logp = os.path.join(exp_dir, stage, "log.txt")
+        stages[stage] = parse_stage_log(logp) if os.path.exists(logp) \
+            else {"error": f"missing {logp}"}
+
+    artifact = {
+        "metric": f"{v.upper()} full-schedule wall-clock ({schedule})",
+        "total_wall_s": round(wall, 1),
+        "stages": stages,
+        "hardware": "1x TPU v5e chip (axon tunnel)",
+        "command": " ".join(cmd),
+        "reference_counterpart": ref,
+        "notes": "The reference publishes no training throughput for "
+                 "this pipeline and BASELINE.md derives no GPU band for "
+                 "it, so no vs_reference multiplier is recorded; the "
+                 "artifact is the measured end-to-end TPU wall-clock "
+                 "(compiles, feed warm-up, validation and checkpoint "
+                 "pauses included) for the reference's full schedule.",
+    }
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact, indent=1))
+
+
+if __name__ == "__main__":
+    main()

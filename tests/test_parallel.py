@@ -58,7 +58,12 @@ def test_mesh_explicit_devices():
 
 
 @requires_8
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
+    # slow gate: the driver independently executes dryrun_multichip(8)
+    # every round (MULTICHIP_r*.json), so the fast suite running it too
+    # is redundant coverage — and at ~3 min (self-train + pre-train +
+    # sharded eval on the 8-device mesh) it was the single largest item.
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
 
