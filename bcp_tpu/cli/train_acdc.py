@@ -39,11 +39,18 @@ def build_parser():
     p.add_argument("--sp_devices", type=int, default=1,
                    help="shard volumes' leading spatial axis over this "
                         "many of the num_devices chips (XLA halo exchange)")
+    # HBM-resident slices + on-device RandomGenerator augmentation
+    # (single-chip only; also avoids the tunneled runtime's host
+    # transfer-buffer leak on the ~6 MB/step batch uploads)
+    p.add_argument("--device_data_cache", type=int, default=1)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import jax
+    resolved_devices = (jax.device_count() if args.num_devices == -1
+                        else args.num_devices)
     cfg = acdc_config(labelnum=args.labelnum).replace(
         root_path=args.root_path, exp=args.exp, net_type=args.model,
         pre_iterations=args.pre_iterations,
@@ -57,6 +64,8 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         num_devices=args.num_devices,
         sp_devices=args.sp_devices,
+        device_data_cache=bool(args.device_data_cache)
+        and resolved_devices == 1 and args.steps_per_dispatch == 1,
         steps_per_dispatch=args.steps_per_dispatch)
     trainer = BCPTrainer(cfg)
     if args.stage in ("both", "pre"):

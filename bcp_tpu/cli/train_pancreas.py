@@ -39,11 +39,20 @@ def build_parser():
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialise V-Net stage activations in the "
                         "backward (1/3 the activation HBM, bit-identical)")
+    # HBM-resident volumes + on-device crop (single-chip only; also
+    # avoids the tunneled runtime's host transfer-buffer leak on the
+    # ~28 MB/step batch uploads)
+    p.add_argument("--device_data_cache", type=int, default=1)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import jax
+    resolved_devices = (jax.device_count() if args.num_devices == -1
+                        else args.num_devices)
+    cache = (bool(args.device_data_cache) and resolved_devices == 1
+             and args.steps_per_dispatch == 1)
     cfg = pancreas_config(label_percent=args.label_percent).replace(
         root_path=args.data_root, base_lr=args.lr, seed=args.seed,
         batch_size=4 * args.batch_size, labeled_bs=2 * args.batch_size,
@@ -56,6 +65,8 @@ def main(argv=None):
     # epoch -> iteration conversion happens against the actual list sizes
     trainer = BCPTrainer(cfg)
     from bcp_tpu.data.feed import BCPBatchFeeder
+    # the counting feeders stay on the host feed (cfg's default) so they
+    # don't build throwaway HBM stores just to read steps_per_epoch
     pre_feeder = BCPBatchFeeder(cfg, "pre", data_scale=trainer.data_scale)
     pre_iters = args.pretraining_epochs * pre_feeder.steps_per_epoch
     pre_feeder.close()
@@ -63,7 +74,8 @@ def main(argv=None):
     self_iters = args.self_training_epochs * self_feeder.steps_per_epoch
     self_feeder.close()
     trainer.cfg = cfg.replace(pre_iterations=pre_iters,
-                              self_iterations=self_iters)
+                              self_iterations=self_iters,
+                              device_data_cache=cache)
     if args.stage in ("both", "pre"):
         trainer.pretrain(resume=args.resume)
     if args.stage in ("both", "self"):

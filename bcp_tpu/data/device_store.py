@@ -165,3 +165,170 @@ class DeviceVolumeStore:
                              jnp.asarray(offsets), jnp.asarray(zeros),
                              jnp.asarray(zeros),
                              jnp.asarray(np.zeros(n, bool)))
+
+
+class DeviceSliceStore:
+    """ACDC train slices resident in HBM, augmented on device.
+
+    Reproduces the reference's ``RandomGenerator``
+    (`dataloaders/dataset.py:69-88`): p=0.5 rot90+flip, elif p=0.25
+    nearest rotate by an integer angle in [-20, 20), then nearest zoom to
+    256x256 — as fixed-shape gathers over bucket-padded native slices, so
+    per-step host->device traffic is a handful of int32 params per sample
+    instead of the ~6 MB batch the host feed uploads (which, under the
+    tunneled runtime, is also the path that leaks host transfer buffers —
+    see docs/DESIGN.md "Host transfer-buffer leak").
+
+    Exactness vs the host/scipy path (`transforms.acdc_random_generator`):
+
+    - none / rot90+flip modes and the final zoom are bit-exact: scipy's
+      ``zoom(order=0)`` maps output index i to input index
+      ``floor(i*(n_in-1)/(n_out-1) + 0.5)``, which this kernel evaluates
+      in exact int32 arithmetic as ``(2*i*(n_in-1) + n_out-1) //
+      (2*(n_out-1))`` (the exact rational is never ON a rounding
+      boundary: its numerator is odd while the denominator is even, so
+      scipy's f64 evaluation and the integer form always agree), and
+      rot90/flip are pure index permutations composed into the gather.
+    - the rotate mode resamples with scipy's exact conventions (source
+      coordinate ``R^-1 @ (out - out_center) + in_center``, nearest =
+      ``floor(c + 0.5)``, cval=0 outside the [0, n-1] coordinate box) but
+      computes the coordinates in f32 on device where scipy uses f64;
+      pixels whose source coordinate lies within ~2e-5 of a rounding
+      boundary can pick the adjacent source pixel. Measured mismatch is
+      O(1e-5) of pixels (tests pin < 1e-3); scipy itself varies at these
+      boundaries across versions.
+    """
+
+    def __init__(self, images, labels, out_size=(256, 256),
+                 img_dtype=jnp.bfloat16):
+        out_size = tuple(int(s) for s in out_size)
+        assert len(out_size) == 2 and min(out_size) > 1
+        shapes = np.array([img.shape for img in images], np.int32)
+        hmax = int(shapes[:, 0].max())
+        wmax = int(shapes[:, 1].max())
+        imgs = np.zeros((len(images), hmax, wmax), np.float32)
+        labs = np.zeros((len(images), hmax, wmax), np.uint8)
+        for i, (img, lab) in enumerate(zip(images, labels)):
+            h, w = img.shape
+            imgs[i, :h, :w] = img
+            labs[i, :h, :w] = lab
+        self.out_size = out_size
+        self.shapes = shapes
+        self.img_dtype = img_dtype
+        # store f32: nearest-neighbour augmentation passes values through
+        # untouched, so the bf16 cast happens once, after augmentation,
+        # exactly like the host feed's post-transform wire cast
+        self.images = jax.device_put(imgs)
+        self.labels = jax.device_put(labs)
+        self._aug_fn = self._build_aug_fn(hmax, wmax)
+
+    @classmethod
+    def from_dataset(cls, dataset, indices, out_size=(256, 256),
+                     img_dtype=jnp.bfloat16):
+        pairs = [dataset.load(i) for i in indices]
+        return cls([np.asarray(p[0], np.float32) for p in pairs],
+                   [np.asarray(p[1], np.uint8) for p in pairs],
+                   out_size, img_dtype)
+
+    # ------------------------------------------------------------------
+    def _build_aug_fn(self, hmax, wmax):
+        oh, ow = self.out_size
+        img_dtype = self.img_dtype
+
+        def zoom_idx(n_in, n_out):
+            # floor(i*(n_in-1)/(n_out-1) + 0.5) in exact int32 arithmetic
+            i = jnp.arange(n_out, dtype=jnp.int32)
+            return (2 * i * (n_in - 1) + (n_out - 1)) // (2 * (n_out - 1))
+
+        def one(img, lab, h, w, mode, k, flip, angle):
+            hf = h.astype(jnp.float32)
+            wf = w.astype(jnp.float32)
+            # --- stage A: nearest rotate at native shape (mode 2) ------
+            # `ndimage.rotate(x, a, reshape=False, order=0)`:
+            # out(i,j) <- in(R @ (o - c_out) + c_in), c_out = c_in =
+            # ((h-1)/2, (w-1)/2), R = [[cos,sin],[-sin,cos]]
+            a = angle.astype(jnp.float32) * (np.pi / 180.0)
+            c, s = jnp.cos(a), jnp.sin(a)
+            ci0, cj0 = (hf - 1) / 2, (wf - 1) / 2
+            oi = jnp.arange(hmax, dtype=jnp.float32)[:, None]
+            oj = jnp.arange(wmax, dtype=jnp.float32)[None, :]
+            src_i = c * (oi - ci0) + s * (oj - cj0) + ci0
+            src_j = -s * (oi - ci0) + c * (oj - cj0) + cj0
+            inside = ((src_i >= 0) & (src_i <= hf - 1)
+                      & (src_j >= 0) & (src_j <= wf - 1))
+            ri = jnp.clip(jnp.floor(src_i + 0.5).astype(jnp.int32),
+                          0, hmax - 1)
+            rj = jnp.clip(jnp.floor(src_j + 0.5).astype(jnp.int32),
+                          0, wmax - 1)
+            rot_img = jnp.where(inside, img[ri, rj], 0.0)
+            rot_lab = jnp.where(inside, lab[ri, rj], 0)
+            src_img = jnp.where(mode == 2, rot_img, img)
+            src_lab = jnp.where(mode == 2, rot_lab, lab)
+
+            # --- stage B: rot90/flip (index permutations) + exact zoom -
+            rotflip = mode == 1
+            swap = rotflip & (k % 2 == 1)
+            h2 = jnp.where(swap, w, h)
+            w2 = jnp.where(swap, h, w)
+            zi = zoom_idx(h2, oh)[:, None]          # rotated-frame rows
+            zj = zoom_idx(w2, ow)[None, :]          # rotated-frame cols
+            zi = jnp.broadcast_to(zi, (oh, ow))
+            zj = jnp.broadcast_to(zj, (oh, ow))
+            # invert the flip (applied after rot90, in the rotated frame)
+            fi = jnp.where(rotflip & (flip == 0), h2 - 1 - zi, zi)
+            fj = jnp.where(rotflip & (flip == 1), w2 - 1 - zj, zj)
+            # invert rot90(k): rotated[i,j] = orig[...]
+            k_eff = jnp.where(rotflip, k, 0)
+            si = jnp.select(
+                [k_eff == 0, k_eff == 1, k_eff == 2, k_eff == 3],
+                [fi, fj, h - 1 - fi, h - 1 - fj])
+            sj = jnp.select(
+                [k_eff == 0, k_eff == 1, k_eff == 2, k_eff == 3],
+                [fj, w - 1 - fi, w - 1 - fj, fi])
+            return src_img[si, sj], src_lab[si, sj]
+
+        @jax.jit
+        def aug_batch(images, labels, idx, hs, ws, modes, ks, flips,
+                      angles):
+            img, lab = jax.vmap(one)(images[idx], labels[idx], hs, ws,
+                                     modes, ks, flips, angles)
+            return img[..., None].astype(img_dtype), lab
+
+        return aug_batch
+
+    # ------------------------------------------------------------------
+    def draw_params(self, indices, rng: np.random.Generator):
+        """Host RNG draws for one batch in the reference's exact
+        per-sample order (`dataloaders/dataset.py:69-79` /
+        `transforms.acdc_random_generator`): coin > 0.5 -> rot90 k ~
+        U{0..3} + flip axis ~ U{0,1}; elif coin > 0.5 -> angle ~
+        U{-20..19}. Same draws as the host feed under the same seed, so
+        batch content matches the host path sample-for-sample."""
+        idx = np.asarray(indices, np.int32)
+        n = len(idx)
+        modes = np.zeros(n, np.int32)
+        ks = np.zeros(n, np.int32)
+        flips = np.zeros(n, np.int32)
+        angles = np.zeros(n, np.int32)
+        for j in range(n):
+            if rng.random() > 0.5:
+                modes[j] = 1
+                ks[j] = rng.integers(0, 4)
+                flips[j] = rng.integers(0, 2)
+            elif rng.random() > 0.5:
+                modes[j] = 2
+                angles[j] = rng.integers(-20, 20)
+        return idx, modes, ks, flips, angles
+
+    def aug_batch(self, params):
+        """Apply :meth:`draw_params` output on device -> (img, lab)."""
+        idx, modes, ks, flips, angles = params
+        hs = jnp.asarray(self.shapes[idx, 0])
+        ws = jnp.asarray(self.shapes[idx, 1])
+        return self._aug_fn(self.images, self.labels, jnp.asarray(idx),
+                            hs, ws, jnp.asarray(modes), jnp.asarray(ks),
+                            jnp.asarray(flips), jnp.asarray(angles))
+
+    def sample_batch(self, indices, rng: np.random.Generator):
+        """RandomGenerator-augmented batch, fully on device."""
+        return self.aug_batch(self.draw_params(indices, rng))

@@ -155,7 +155,8 @@ class BCPBatchFeeder:
     # -- device-resident volume store -----------------------------------
     def _init_device_store(self):
         import jax.numpy as jnp
-        from bcp_tpu.data.device_store import DeviceVolumeStore
+        from bcp_tpu.data.device_store import (DeviceSliceStore,
+                                               DeviceVolumeStore)
         cfg = self.cfg
         dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                  else jnp.float32)
@@ -163,6 +164,10 @@ class BCPBatchFeeder:
             self._store = DeviceVolumeStore.from_dataset(
                 self.dataset, range(len(self.dataset)), cfg.patch_size,
                 pad_extra=3, img_dtype=dtype)
+        elif cfg.variant == "acdc":
+            self._store = DeviceSliceStore.from_dataset(
+                self.dataset, range(len(self.dataset)), cfg.patch_size,
+                img_dtype=dtype)
         elif cfg.variant == "pancreas":
             n_lab = len(self.lab_a.rel_paths)
             self._lab_store = DeviceVolumeStore.from_dataset(
@@ -173,7 +178,7 @@ class BCPBatchFeeder:
                 self.unlab_a, range(n_unlab), cfg.patch_size, pad_extra=1,
                 img_dtype=dtype)
         else:
-            raise ValueError("device_data_cache supports la/pancreas")
+            raise ValueError("device_data_cache supports la/acdc/pancreas")
 
     def _build_device(self):
         cfg = self.cfg
@@ -189,6 +194,21 @@ class BCPBatchFeeder:
                                                    rotflip=True)
                 usub = cfg.unlabeled_sub_bs
                 batch["uimg_a"], batch["uimg_b"] = uimg[:usub], uimg[usub:]
+            return batch
+        if cfg.variant == "acdc":
+            # mirror the host _build exactly: all labeled samples consume
+            # the RNG first (in lab_idx order), then the unlabeled ones
+            sub = cfg.labeled_sub_bs
+            img, lab = self._store.sample_batch(lab_idx, self.rng)
+            batch = {"img_a": img[:sub], "img_b": img[sub:],
+                     "lab_a": lab[:sub], "lab_b": lab[sub:]}
+            if self.stage == "self":
+                usub = cfg.unlabeled_sub_bs
+                uimg, ulab = self._store.sample_batch(unlab_idx, self.rng)
+                batch["uimg_a"], batch["uimg_b"] = uimg[:usub], uimg[usub:]
+                # ACDC's "unlabeled" slices carry true labels; snapshot
+                # panels mix them (`ACDC_BCP_train.py:368-369,404,413`)
+                batch["ulab_a"], batch["ulab_b"] = ulab[:usub], ulab[usub:]
             return batch
         # pancreas: map oversampled/reversed stream indices to raw volumes
         n = len(self.lab_a.rel_paths)

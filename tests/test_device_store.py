@@ -141,3 +141,122 @@ def test_stacked_feed_matches_sequential(tmp_path_factory):
             np.testing.assert_array_equal(got[k],
                                           np.asarray(singles[k][key]),
                                           err_msg=f"{key} sub-step {k}")
+
+
+# ---------------------------------------------------------------------------
+# DeviceSliceStore (ACDC)
+
+def _slices(shapes, seed=0, n_classes=4):
+    rng = np.random.default_rng(seed)
+    imgs = [rng.random(s).astype(np.float32) for s in shapes]
+    labs = [rng.integers(0, n_classes, s).astype(np.uint8) for s in shapes]
+    return imgs, labs
+
+
+def _host_aug(img, lab, mode, k, flip, angle, out):
+    """Reference transform with forced params (the scipy oracle)."""
+    from bcp_tpu.data import transforms
+    if mode == 1:
+        img, lab = np.rot90(img, k), np.rot90(lab, k)
+        img, lab = np.flip(img, axis=flip), np.flip(lab, axis=flip)
+    elif mode == 2:
+        from scipy import ndimage
+        img = ndimage.rotate(img, angle, order=0, reshape=False)
+        lab = ndimage.rotate(lab, angle, order=0, reshape=False)
+    return transforms.zoom_to(img, lab, out)
+
+
+def test_slice_store_zoom_and_rotflip_bit_exact():
+    """Modes 0/1 + the nearest zoom are pure index permutations + exact
+    int32 zoom arithmetic -> bit-identical to the scipy host path, for
+    every k/flip combination and non-square / swapped / square shapes."""
+    from bcp_tpu.data.device_store import DeviceSliceStore
+    shapes = [(37, 53), (53, 37), (40, 40), (64, 17)]
+    imgs, labs = _slices(shapes)
+    out = (32, 32)
+    store = DeviceSliceStore(imgs, labs, out, img_dtype=jnp.float32)
+    cases = [(i, 0, 0, 0) for i in range(len(shapes))]          # mode 0
+    cases += [(i, 1, k, f) for i in range(len(shapes))
+              for k in range(4) for f in range(2)]              # mode 1
+    idx = np.array([c[0] for c in cases], np.int32)
+    modes = np.array([c[1] for c in cases], np.int32)
+    ks = np.array([c[2] for c in cases], np.int32)
+    flips = np.array([c[3] for c in cases], np.int32)
+    angles = np.zeros(len(cases), np.int32)
+    got_img, got_lab = store.aug_batch((idx, modes, ks, flips, angles))
+    for n, (i, m, k, f) in enumerate(cases):
+        want_img, want_lab = _host_aug(imgs[i], labs[i], m, k, f, 0, out)
+        np.testing.assert_array_equal(
+            np.asarray(got_img[n, ..., 0]), want_img,
+            err_msg=f"img case slice={i} mode={m} k={k} flip={f}")
+        np.testing.assert_array_equal(
+            np.asarray(got_lab[n]), want_lab,
+            err_msg=f"lab case slice={i} mode={m} k={k} flip={f}")
+
+
+def test_slice_store_rotate_matches_scipy_within_f32_bound():
+    """Mode 2 computes source coordinates in f32 where scipy uses f64;
+    only pixels whose coordinate sits within ~2e-5 of a rounding
+    boundary may differ (device_store.DeviceSliceStore docstring)."""
+    from bcp_tpu.data.device_store import DeviceSliceStore
+    shapes = [(37, 53), (53, 37), (44, 44)] * 13   # 39 cases
+    imgs, labs = _slices(shapes, seed=3)
+    out = (32, 32)
+    store = DeviceSliceStore(imgs, labs, out, img_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    idx = np.arange(len(shapes), dtype=np.int32)
+    angles = rng.integers(-20, 20, len(shapes)).astype(np.int32)
+    modes = np.full(len(shapes), 2, np.int32)
+    zeros = np.zeros(len(shapes), np.int32)
+    got_img, got_lab = store.aug_batch((idx, modes, zeros, zeros, angles))
+    total = wrong = 0
+    for n in range(len(shapes)):
+        want_img, want_lab = _host_aug(imgs[n], labs[n], 2, 0, 0,
+                                       int(angles[n]), out)
+        wrong += (np.asarray(got_img[n, ..., 0]) != want_img).sum()
+        wrong += (np.asarray(got_lab[n]) != want_lab).sum()
+        total += 2 * want_img.size
+    assert wrong / total < 1e-3, f"{wrong}/{total} pixels differ"
+
+
+def test_acdc_feeder_device_cache_matches_host_feed(tmp_path_factory):
+    """Same seed -> the device-cached ACDC feed yields the same batches
+    as the host feed (sample-for-sample RNG order), up to the mode-2
+    f32 boundary pixels."""
+    from bcp_tpu.config import acdc_config
+    root = synthetic.make_acdc_dataset(
+        str(tmp_path_factory.mktemp("acdc_dev")), n_train_slices=40,
+        n_val=2, slice_shape=(40, 36))
+    cfg = acdc_config(labelnum=1).replace(
+        root_path=root, patch_size=(32, 32), batch_size=8, labeled_bs=4,
+        compute_dtype="float32")
+    host = BCPBatchFeeder(cfg, stage="self", seed=11)
+    dev = BCPBatchFeeder(cfg.replace(device_data_cache=True),
+                         stage="self", seed=11)
+    for it in range(3):
+        hb, db = next(host), next(dev)
+        assert set(hb) == set(db)
+        for key in sorted(hb):
+            h = np.asarray(hb[key])
+            d = np.asarray(db[key])
+            assert h.shape == d.shape, (key, h.shape, d.shape)
+            frac = (h != d).mean()
+            assert frac < 1e-3, f"iter {it} {key}: {frac:.2e} differ"
+    host.close()
+    dev.close()
+
+
+def test_acdc_feeder_device_cache_pre_stage(tmp_path_factory):
+    from bcp_tpu.config import acdc_config
+    root = synthetic.make_acdc_dataset(
+        str(tmp_path_factory.mktemp("acdc_dev_pre")), n_train_slices=40,
+        n_val=2, slice_shape=(40, 36))
+    cfg = acdc_config(labelnum=1).replace(
+        root_path=root, patch_size=(32, 32), batch_size=8, labeled_bs=4,
+        device_data_cache=True, compute_dtype="float32")
+    feeder = BCPBatchFeeder(cfg, stage="pre", seed=1)
+    batch = next(feeder)
+    assert batch["img_a"].shape == (2, 32, 32, 1)
+    assert batch["lab_a"].dtype == np.uint8
+    assert "uimg_a" not in batch and "ulab_a" not in batch
+    feeder.close()
