@@ -2,6 +2,7 @@
 hand-off, resume, and validation improving over random init."""
 
 import os
+import shutil
 
 import numpy as np
 import pytest
@@ -24,37 +25,49 @@ def tiny_cfg(tmp_path_factory):
         snapshot_root=str(tmp_path_factory.mktemp("snap")))
 
 
-def test_two_stage_training_runs(tiny_cfg):
+@pytest.fixture(scope="module")
+def two_stage_run(tiny_cfg):
+    """One full two-stage training shared by the derivative tests below
+    (resume / clobber-guard / eval-CLI), which copy the snapshot tree
+    instead of re-training a fresh stage each (round-4 suite-time pass;
+    the per-stage fixed cost — feeder + warmup + validations — dominates
+    these tiny runs)."""
     trainer = BCPTrainer(tiny_cfg)
-    pre_dice, pre_best = trainer.pretrain()
+    pre = trainer.pretrain()
+    self_ = trainer.selftrain()
+    return trainer, pre, self_
+
+
+def _copy_snapshot(cfg, dst):
+    shutil.copytree(cfg.snapshot_root, dst)
+    return dst
+
+
+def test_two_stage_training_runs(two_stage_run):
+    trainer, (pre_dice, pre_best), (self_dice, _) = two_stage_run
     assert os.path.exists(pre_best)
     assert 0.0 <= pre_dice <= 1.0
-    self_dice, self_best = trainer.selftrain()
     assert 0.0 <= self_dice <= 1.0
     # logs written per stage
     assert os.path.exists(os.path.join(trainer.pre_dir, "log.txt"))
     assert os.path.exists(os.path.join(trainer.self_dir, "log.txt"))
 
 
-def test_resume_from_last(tiny_cfg):
-    cfg = tiny_cfg.replace(pre_iterations=4, eval_every=2)
-    trainer = BCPTrainer(cfg, snapshot_root=os.path.join(
-        cfg.snapshot_root, "resume_run"))
-    trainer.pretrain()
-    # resume: should be a no-op extension (start=4 == max) and not crash
-    dice, _ = trainer.pretrain(resume=True)
+def test_resume_from_last(tiny_cfg, two_stage_run, tmp_path):
+    root = _copy_snapshot(tiny_cfg, os.path.join(str(tmp_path), "resume"))
+    # resume: should be a no-op extension (start=6 == max) and not crash
+    dice, _ = BCPTrainer(tiny_cfg, snapshot_root=root).pretrain(resume=True)
     assert 0.0 <= dice <= 1.0
 
 
-def test_eval_cli_save_result_writes_nifti(tiny_cfg):
+def test_eval_cli_save_result_writes_nifti(tiny_cfg, two_stage_run):
     """`--save_result 1` dumps per-case %02d_{pred,img,gt}.nii.gz under
     <model>_predictions/ (`utils/test_3d_patch.py:67-72`) and they read
     back with the package reader."""
     from bcp_tpu.cli import test_la as test_la_cli
     from bcp_tpu.data.preprocess import read_nifti
-    cfg = tiny_cfg.replace(pre_iterations=2, eval_every=2)
-    root = os.path.join(cfg.snapshot_root, "save_result_run")
-    BCPTrainer(cfg, snapshot_root=root).pretrain()
+    cfg = tiny_cfg
+    root = cfg.snapshot_root
     test_la_cli.main([
         "--root_path", cfg.root_path, "--labelnum", str(cfg.labelnum),
         "--snapshot_root", root, "--stage_name", "pre_train",
@@ -83,18 +96,17 @@ def test_scan_best_dice(tmp_path):
     assert scan_best_dice(str(tmp_path)) == pytest.approx(0.9012)
 
 
-def test_resume_cannot_clobber_historical_best(tiny_cfg):
+def test_resume_cannot_clobber_historical_best(tiny_cfg, two_stage_run,
+                                               tmp_path):
     """VERDICT r1 weak #3: resuming a stage whose historical best was high
     must not re-save {model}_best_model with a worse state."""
-    cfg = tiny_cfg.replace(pre_iterations=4, eval_every=2)
-    root = os.path.join(cfg.snapshot_root, "resume_best_run")
-    trainer = BCPTrainer(cfg, snapshot_root=root)
-    trainer.pretrain()
+    root = _copy_snapshot(tiny_cfg, os.path.join(str(tmp_path), "clobber"))
+    trainer = BCPTrainer(tiny_cfg, snapshot_root=root)
     # plant a historical best far above anything 2 more steps can reach
     os.makedirs(os.path.join(trainer.pre_dir, "iter_2_dice_0.99"))
     best = os.path.join(trainer.pre_dir, "VNet_best_model")
     mtime = os.path.getmtime(best)
-    cfg2 = cfg.replace(pre_iterations=6)
+    cfg2 = tiny_cfg.replace(pre_iterations=8)
     trainer2 = BCPTrainer(cfg2, snapshot_root=root)
     dice, _ = trainer2.pretrain(resume=True)
     assert dice >= 0.99                      # historical best carried over
