@@ -65,7 +65,7 @@ def main(argv=None):
         num_devices=args.num_devices,
         sp_devices=args.sp_devices,
         device_data_cache=bool(args.device_data_cache)
-        and resolved_devices == 1 and args.steps_per_dispatch == 1,
+        and resolved_devices == 1,
         steps_per_dispatch=args.steps_per_dispatch)
     trainer = BCPTrainer(cfg)
     if args.stage in ("both", "pre"):

@@ -51,8 +51,7 @@ def main(argv=None):
     import jax
     resolved_devices = (jax.device_count() if args.num_devices == -1
                         else args.num_devices)
-    cache = (bool(args.device_data_cache) and resolved_devices == 1
-             and args.steps_per_dispatch == 1)
+    cache = bool(args.device_data_cache) and resolved_devices == 1
     cfg = pancreas_config(label_percent=args.label_percent).replace(
         root_path=args.data_root, base_lr=args.lr, seed=args.seed,
         batch_size=4 * args.batch_size, labeled_bs=2 * args.batch_size,

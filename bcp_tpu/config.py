@@ -59,9 +59,10 @@ class Config:
     # (same per-step fold_in keys, batch stream and BN/EMA threading) but
     # amortises the per-dispatch host/tunnel round-trips — on the
     # tunneled v5e the K=1 loop exposes ~17 ms dispatch + fetch latency
-    # per iteration. Single-device only (any variant; the device-cached
-    # stacked feed is LA's); eval_every and the stage lengths must be
-    # multiples of K.
+    # per iteration. Works with every variant's feed (device-cached or
+    # host) and under a data/space mesh (the stacked host batches keep
+    # the batch axis sharded; GSPMD scans over the leading K axis);
+    # eval_every and the stage lengths must be multiples of K.
     steps_per_dispatch: int = 1
 
     # ---- parallelism (SURVEY.md C28/C29): data-parallel 1-D device mesh.
@@ -95,6 +96,17 @@ class Config:
     pre_iterations: int = 2000
     self_iterations: int = 15000
     eval_every: int = 200
+    # Overlap validation + checkpoint writes with training: each eval
+    # boundary snapshots the state (an on-device copy — training's
+    # donated buffers never alias it) and a single background worker
+    # validates/saves it while the train loop keeps dispatching steps.
+    # Jobs run strictly in submission order, so the states validated,
+    # the best-dice comparison sequence and the checkpoints written are
+    # identical to the serialized loop (tested); only the pause
+    # disappears (43%/22% of the r4 LA stage wall-clocks). False =
+    # reference behaviour: the loop blocks through each validation
+    # (`LA_BCP_train.py:173-187,278-292`).
+    async_val: bool = True
     # fetch+log step metrics every N steps. 1 = reference behaviour (logs
     # every iteration); each fetch synchronises with the device, so >1
     # lets consecutive steps pipeline (~10% faster on tunneled backends).

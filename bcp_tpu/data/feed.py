@@ -282,9 +282,10 @@ class BCPBatchFeeder:
         (K*n, ...) -> (K, n, ...) and split the streams in one jitted fn.
         """
         cfg, K = self.cfg, self.stack
-        if cfg.variant != "la":
-            raise ValueError("stacked device feed supports the LA "
-                             "pipeline (steps_per_dispatch > 1)")
+        if cfg.variant == "acdc":
+            return self._build_device_stacked_acdc()
+        if cfg.variant == "pancreas":
+            return self._build_device_stacked_pancreas()
         # Host RNG draws interleave labeled/unlabeled PER SUB-STEP,
         # exactly like K sequential _build_device calls, so the batch
         # content per sub-step is identical to the K=1 run of the same
@@ -325,6 +326,100 @@ class BCPBatchFeeder:
                 return out
             self._split_fn = split
         return self._split_fn(img, lab, uimg)
+
+    def _build_device_stacked_acdc(self):
+        """K-stacked ACDC device batches: one augmentation program for
+        the K labeled draws and one for the K unlabeled draws. RNG draws
+        per sub-step (all labeled, then all unlabeled) match K sequential
+        ``_build_device`` calls exactly, so batch content per sub-step is
+        identical to the K=1 run of the same seed."""
+        cfg, K = self.cfg, self.stack
+        lab_p, unlab_p = [], []
+        for _ in range(K):
+            li, ui = next(self._index_stream)
+            lab_p.append(self._store.draw_params(li, self.rng))
+            if self.stage == "self":
+                unlab_p.append(self._store.draw_params(ui, self.rng))
+
+        def _cat(plist):
+            return tuple(np.concatenate([p[i] for p in plist])
+                         for i in range(len(plist[0])))
+
+        img, lab = self._store.aug_batch(_cat(lab_p))
+        uimg = ulab = None
+        if self.stage == "self":
+            uimg, ulab = self._store.aug_batch(_cat(unlab_p))
+        if not hasattr(self, "_split_fn_acdc"):
+            sub, usub = cfg.labeled_sub_bs, cfg.unlabeled_sub_bs
+
+            @jax.jit
+            def split(img, lab, uimg, ulab):
+                n = img.shape[0] // K
+                img = img.reshape(K, n, *img.shape[1:])
+                lab = lab.reshape(K, n, *lab.shape[1:])
+                out = {"img_a": img[:, :sub], "img_b": img[:, sub:],
+                       "lab_a": lab[:, :sub], "lab_b": lab[:, sub:]}
+                if uimg is not None:
+                    nu = uimg.shape[0] // K
+                    u = uimg.reshape(K, nu, *uimg.shape[1:])
+                    ul = ulab.reshape(K, nu, *ulab.shape[1:])
+                    out["uimg_a"], out["uimg_b"] = u[:, :usub], u[:, usub:]
+                    # true labels ride along for the snapshot panels only
+                    out["ulab_a"], out["ulab_b"] = (ul[:, :usub],
+                                                    ul[:, usub:])
+                return out
+            self._split_fn_acdc = split
+        return self._split_fn_acdc(img, lab, uimg, ulab)
+
+    def _build_device_stacked_pancreas(self):
+        """K-stacked pancreas device batches: the a/b labeled streams'
+        K draws fuse into one crop program each; the unlabeled center
+        crops (RNG-free) fuse likewise. Per-sub-step RNG order (a-stream
+        draws then b-stream draws) matches K sequential ``_build_device``
+        calls."""
+        cfg, K = self.cfg, self.stack
+        n = len(self.lab_a.rel_paths)
+        a_p, b_p = [], []
+        u_a_idx, u_b_idx = [], []
+        for _ in range(K):
+            li, ui = next(self._index_stream)
+            raw_a = [i % n for i in li]
+            raw_b = [n - (i % n) - 1 for i in li]
+            a_p.append(self._lab_store.draw_params(raw_a, self.rng,
+                                                   rotflip=False))
+            b_p.append(self._lab_store.draw_params(raw_b, self.rng,
+                                                   rotflip=False))
+            if self.stage == "self":
+                nu = len(self.unlab_a.rel_paths)
+                u_a_idx.extend(i % nu for i in ui)
+                u_b_idx.extend(nu - (i % nu) - 1 for i in ui)
+
+        def _cat(plist):
+            return tuple(np.concatenate([p[i] for p in plist])
+                         for i in range(len(plist[0])))
+
+        img_a, lab_a = self._lab_store.crop_batch(_cat(a_p),
+                                                  rotflip=False)
+        img_b, lab_b = self._lab_store.crop_batch(_cat(b_p),
+                                                  rotflip=False)
+        uimg_a = uimg_b = None
+        if self.stage == "self":
+            uimg_a = self._unlab_store.center_batch(u_a_idx)[0]
+            uimg_b = self._unlab_store.center_batch(u_b_idx)[0]
+        if not hasattr(self, "_split_fn_pancreas"):
+            @jax.jit
+            def split(img_a, lab_a, img_b, lab_b, uimg_a, uimg_b):
+                def r(x):
+                    return x.reshape(K, x.shape[0] // K, *x.shape[1:])
+                out = {"img_a": r(img_a), "img_b": r(img_b),
+                       "lab_a": r(lab_a), "lab_b": r(lab_b)}
+                if uimg_a is not None:
+                    out["uimg_a"] = r(uimg_a)
+                    out["uimg_b"] = r(uimg_b)
+                return out
+            self._split_fn_pancreas = split
+        return self._split_fn_pancreas(img_a, lab_a, img_b, lab_b,
+                                       uimg_a, uimg_b)
 
     def _worker(self):
         try:

@@ -91,6 +91,44 @@ def _git_vnet(class_num: int = 2, mode: str = "train",
                   has_dropout=kw.pop("has_dropout", False), **kw)
 
 
+@register("sep_unet_2d")
+def _sep_unet_2d(class_num: int = 4, mode: str = "train", **kw):
+    """`Sep_UNet_2d` (`networks/unet.py:259-316`; dead in the reference —
+    zoo parity entry). Returns (pooled bottleneck feature, logits)."""
+    from bcp_tpu.models.unet_extras import SepUNet2D
+    return SepUNet2D(n_classes=class_num, **kw)
+
+
+@register("unet_2d_bcp")
+def _unet_2d_bcp(class_num: int = 4, mode: str = "train", **kw):
+    """`UNet_2dBCP` (`networks/unet.py:361-377`; dead — zoo parity)."""
+    from bcp_tpu.models.unet_extras import UNet2DBCP
+    return UNet2DBCP(n_classes=class_num, **kw)
+
+
+@register("unet_tsne")
+def _unet_tsne(class_num: int = 4, mode: str = "train", **kw):
+    """`UNet_tsne` (`networks/unet.py:379-433`; dead — zoo parity)."""
+    from bcp_tpu.models.unet_extras import UNetTsne
+    return UNetTsne(n_classes=class_num, **kw)
+
+
+@register("net_D")
+def _net_d(class_num: int = 2, mode: str = "train", b_size: int = 4, **kw):
+    """`net_D` MLP discriminator (`networks/unet.py:341-359`; dead —
+    zoo parity). ``class_num`` is ignored (binary sigmoid output)."""
+    from bcp_tpu.models.unet_extras import NetD
+    return NetD(b_size=b_size, **kw)
+
+
+@register("unet_3D_trilinear")
+def _unet3d_trilinear(class_num: int = 2, mode: str = "train", **kw):
+    """Trilinear deep-supervision `UNet_3D` (`networks/unet.py:435-510`;
+    dead — zoo parity)."""
+    from bcp_tpu.models.unet_extras import UNet3DTrilinear
+    return UNet3DTrilinear(n_classes=class_num, **kw)
+
+
 def create_model(net_type: str, class_num: int, mode: str = "train",
                  compute_dtype=None, **kw):
     """``compute_dtype`` (e.g. jnp.bfloat16) enables mixed precision:

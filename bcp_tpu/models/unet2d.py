@@ -8,7 +8,8 @@ reduction + bilinear(align_corners=True) 2x upsample + *concat* skips +
 ConvBlock (dropout 0); 3x3 output conv.
 
 Divergences (documented): channels-last NHWC layout; the dead projection /
-prediction / selector heads (`unet.py:162-190`) are omitted (SURVEY.md C24).
+prediction / selector heads (`unet.py:162-190`) live in ``unet_extras``
+(SepUNet2D / UNetTsne carry them; the live ACDC net doesn't need them).
 ``__call__`` returns ``(logits, x_last)`` — `UNet` semantics
 (`unet.py:104-116`); ACDC's `UNet_2d` simply drops the second output.
 """
@@ -70,6 +71,9 @@ class UNet2D(nn.Module):
     dropout: Sequence[float] = (0.05, 0.1, 0.2, 0.3, 0.5)
     dtype: object = None
     bn_groups: int = 1
+    # also return the encoder bottleneck (feature[4]) — Sep_UNet_2d's
+    # forward pools it for its discriminator feature (`unet.py:313-316`)
+    expose_bottleneck: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -96,4 +100,6 @@ class UNet2D(nn.Module):
         x_last = UpBlock(ft[0], ft[0], dtype=self.dtype, groups=self.bn_groups, name="up4")(y, x0, train)
         logits = conv(self.n_classes, (3, 3), name="out_conv",
                       dtype=self.dtype)(x_last)
+        if self.expose_bottleneck:
+            return logits.astype(jax.numpy.float32), x_last, x4
         return logits.astype(jax.numpy.float32), x_last

@@ -18,7 +18,10 @@ Performance notes vs the reference:
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -41,6 +44,58 @@ from bcp_tpu.train.steps import make_pretrain_step, make_selftrain_step
 from bcp_tpu.utils.logging import (MetricWriter, cut_pre_measures,
                                    cutmix_ft_measures, enable_compile_cache,
                                    setup_logging)
+
+
+class _ValWorker:
+    """One background thread running validation + checkpoint jobs
+    strictly in submission order (``Config.async_val``).
+
+    The train step donates its state buffers, so each job owns a fresh
+    on-device copy of the state snapshotted at its eval boundary. Jobs
+    are pure functions of that snapshot and execute one at a time in
+    submission order, so which states get validated, the best-dice
+    comparison sequence and the checkpoints written are identical to
+    the serialized loop — only the training loop no longer waits. The
+    reference validates inline, pausing training for the whole sweep
+    (`LA_BCP_train.py:173-187,278-292`); on the tunneled v5e those
+    pauses were 43%/22% of the r4 LA stage wall-clocks."""
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            try:
+                if job is not None and self._err is None:
+                    job()
+            except BaseException as e:  # surfaced at the next drain
+                self._err = e
+            finally:
+                self._q.task_done()
+            if job is None:
+                return
+
+    def submit(self, job) -> None:
+        """Queue a job, first waiting out any job still in flight (≤1
+        outstanding snapshot bounds HBM; validations stay sequential)."""
+        self.drain()
+        self._q.put(job)
+
+    def drain(self) -> None:
+        """Block until every submitted job finished; re-raise the first
+        job error in the caller's thread."""
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join()
 
 
 class BCPTrainer:
@@ -236,15 +291,6 @@ class BCPTrainer:
 
         K = max(int(cfg.steps_per_dispatch), 1)
         if K > 1:
-            if self.mesh is not None:
-                raise ValueError(
-                    "steps_per_dispatch > 1 is single-device: fuse "
-                    "steps or shard over a mesh, not both")
-            if cfg.device_data_cache and cfg.variant != "la":
-                raise ValueError(
-                    "the device-cached stacked feed supports the LA "
-                    "pipeline; other variants fuse steps via the host "
-                    "feed (device_data_cache=False)")
             if cfg.eval_every % K or (max_iterations - int(state.step)) % K:
                 raise ValueError(
                     f"eval_every ({cfg.eval_every}) and the remaining "
@@ -273,8 +319,26 @@ class BCPTrainer:
 
         base_key = jax.random.PRNGKey(cfg.seed + (0 if stage == "pre"
                                                   else 1))
-        best_dice = resumed_best
+        best = {"dice": resumed_best}   # shared with the val worker
         best_path = best_model_path(out_dir, cfg.net_type)
+
+        def run_validation(v_it: int, v_state: TrainState) -> None:
+            """Validate one state + write its checkpoints — the body of
+            the reference's eval boundary (`LA_BCP_train.py:173-187`).
+            Runs inline (async_val=False) or on the _ValWorker."""
+            dice_sample = self.validate(v_state)
+            if dice_sample > best["dice"]:
+                best["dice"] = round(dice_sample, 4)
+                tagged = os.path.join(
+                    out_dir, f"iter_{v_it}_dice_{best['dice']}")
+                self.ckpt.save_many([tagged, best_path, last_path],
+                                    v_state)
+                logger.info("save best model to %s", tagged)
+            else:
+                self.ckpt.save(last_path, v_state)
+            self._val_tags(writer, stage, dice_sample, best["dice"], v_it)
+
+        val_worker = _ValWorker() if cfg.async_val else None
         def emit_metrics(first_it: int, metrics) -> None:
             """Fetch + log metrics — one step's scalars, or a
             steps_per_dispatch group's leading-stacked scalars, emitted
@@ -401,22 +465,32 @@ class BCPTrainer:
                     emit_metrics(*pending)
                     pending = None
                 tv0 = time.time()
-                dice_sample = self.validate(state)
-                if dice_sample > best_dice:
-                    best_dice = round(dice_sample, 4)
-                    tagged = os.path.join(
-                        out_dir, f"iter_{it}_dice_{best_dice}")
-                    self.ckpt.save_many([tagged, best_path, last_path],
-                                        state)
-                    logger.info("save best model to %s", tagged)
+                if val_worker is not None:
+                    # the next step donates (and so deletes) the state's
+                    # buffers: the job validates its own on-device copy
+                    snap = jax.tree_util.tree_map(
+                        lambda x: jnp.copy(x) if isinstance(x, jax.Array)
+                        else x, state)
+                    val_worker.submit(partial(run_validation, it, snap))
                 else:
-                    self.ckpt.save(last_path, state)
+                    run_validation(it, state)
+                # exposed pause only: the snapshot copy + any wait for a
+                # still-running previous validation (async), or the whole
+                # validation + checkpoint write (sync)
                 val_seconds += time.time() - tv0
-                self._val_tags(writer, stage, dice_sample, best_dice, it)
 
         if pending is not None:   # flush the last step's metrics
             emit_metrics(*pending)
             pending = None
+
+        if val_worker is not None:
+            tv0 = time.time()
+            try:
+                val_worker.drain()
+            finally:
+                val_worker.close()
+            val_seconds += time.time() - tv0
+        best_dice = best["dice"]
 
         if not os.path.exists(best_path):
             # A stage shorter than eval_every would otherwise leave no

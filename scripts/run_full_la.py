@@ -73,13 +73,16 @@ def parse_stage_log(path: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "RUN_LA_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "RUN_LA_r05.json"))
     ap.add_argument("--data", default="/tmp/run_la_data")
     ap.add_argument("--snap", default="/tmp/run_la_snap")
     ap.add_argument("--pre", type=int, default=2000)
     ap.add_argument("--self", dest="self_it", type=int, default=15000)
     ap.add_argument("--shape", type=int, nargs=3, default=(180, 150, 88),
                     help="synthetic volume shape (>= 112x112x80 patch)")
+    ap.add_argument("--k", type=int, default=10,
+                    help="steps_per_dispatch (must divide eval_every=200 "
+                         "and both stage lengths)")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.data, "train.list")):
@@ -94,6 +97,7 @@ def main():
            "--max_samples", "80",
            "--pre_max_iteration", str(args.pre),
            "--self_max_iteration", str(args.self_it),
+           "--steps_per_dispatch", str(args.k),
            "--snapshot_root", args.snap]
     print("running:", " ".join(cmd), flush=True)
     t0 = time.time()
@@ -108,6 +112,8 @@ def main():
         if "pre_train" in dirs and "self_train" in dirs:
             exp_dir = root
             break
+    if exp_dir is None:
+        sys.exit(f"no pre_train/self_train run found under {args.snap}")
     stages = {}
     for stage in ("pre_train", "self_train"):
         logp = os.path.join(exp_dir, stage, "log.txt")

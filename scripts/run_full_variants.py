@@ -1,4 +1,4 @@
-"""Full-schedule ACDC / pancreas wall-clock artifacts (round 4).
+"""Full-schedule ACDC / pancreas wall-clock artifacts (rounds 4-5).
 
 Companions to `run_full_la.py` (which covers the LA north-star schedule):
 run the REAL `cli/train_acdc.py` / `cli/train_pancreas.py` end-to-end on
@@ -12,14 +12,16 @@ complete schedules —
   200 self-training epochs (1800 + 5000 iterations here), eval every 20
   epochs, 12 labeled / 50 unlabeled volumes, 18 test volumes.
 
-and write `RUN_{VARIANT}_r04.json` with per-stage wall-clock including
-compiles, feed warm-up, validation pauses and checkpoint writes. The
-reference publishes no ACDC/pancreas throughput and BASELINE.md derives
-no GPU band for them, so unlike `RUN_LA_r04.json` these artifacts record
-the measured TPU wall-clock only (no `vs_reference` multiplier).
+and write `RUN_{VARIANT}_r05.json` with per-stage wall-clock including
+compiles, feed warm-up, validation pauses and checkpoint writes, plus a
+`vs_reference` multiplier against BASELINE.md's FLOP-count + MFU-band
+estimate of the reference's wall-clock on its stated hardware (see
+"ACDC / pancreas reference bands" in BASELINE.md — the reference
+publishes no training throughput, so the band is the honest comparison
+available; the measured TPU wall-clock is the hard number).
 
 Usage: python scripts/run_full_variants.py --variant acdc|pancreas
-       [--out RUN_X_r04.json] [--data DIR] [--snap DIR]
+       [--out RUN_X_r05.json] [--data DIR] [--snap DIR] [--k 10]
 """
 
 from __future__ import annotations
@@ -61,9 +63,12 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--data", default=None)
     ap.add_argument("--snap", default=None)
+    ap.add_argument("--k", type=int, default=10,
+                    help="steps_per_dispatch (must divide eval cadence "
+                         "and stage lengths)")
     args = ap.parse_args()
     v = args.variant
-    out = args.out or os.path.join(REPO, f"RUN_{v.upper()}_r04.json")
+    out = args.out or os.path.join(REPO, f"RUN_{v.upper()}_r05.json")
     data = args.data or f"/tmp/run_{v}_data"
     snap = args.snap or f"/tmp/run_{v}_snap"
 
@@ -76,6 +81,7 @@ def main():
         cmd = [sys.executable, "-m", "bcp_tpu.cli.train_acdc",
                "--root_path", data, "--labelnum", "7",
                "--pre_iterations", "10000", "--max_iterations", "30000",
+               "--steps_per_dispatch", str(args.k),
                "--snapshot_root", snap]
         schedule = ("10k pre + 30k self, eval every 200, batch 24, "
                     "256x256, 7 patients labeled")
@@ -86,6 +92,7 @@ def main():
                "--data_root", data,
                "--pretraining_epochs", "60",
                "--self_training_epochs", "200",
+               "--steps_per_dispatch", str(args.k),
                "--snapshot_root", snap]
         schedule = ("60 pre epochs + 200 self epochs (1800+5000 iters), "
                     "eval every 20 epochs, batch 8, 96x96x96, 12/62 "
@@ -106,12 +113,37 @@ def main():
         if "pre_train" in dirs and "self_train" in dirs:
             exp_dir = root_
             break
+    if exp_dir is None:
+        sys.exit(f"no pre_train/self_train run found under {snap}")
     stages = {}
     for stage in ("pre_train", "self_train"):
         logp = os.path.join(exp_dir, stage, "log.txt")
         stages[stage] = parse_stage_log(logp) if os.path.exists(logp) \
             else {"error": f"missing {logp}"}
 
+    # Reference wall-clock estimate — BASELINE.md "ACDC / pancreas
+    # reference bands": per-iter FLOP+MFU bands (central at the
+    # pessimistic edge, as for LA) + the per-pause validation estimate.
+    if v == "acdc":
+        est = {"pre": (10000, 0.013, 0.047, 0.05),
+               "self": (30000, 0.045, 0.13, 0.15),
+               "val": (200, 3.0, 7.5, 5.8)}
+        deriv = ("BASELINE.md ACDC band: pre 0.013-0.047 (0.05 central), "
+                 "self 0.045-0.13 (0.15 central) s/iter on one RTX 3090; "
+                 "validation 200 pauses x 20 volumes of per-slice batch-1 "
+                 "forwards + medpy dice/hd95 (~5.8 s central)")
+    else:
+        est = {"pre": (1800, 0.055, 0.29, 0.33),
+               "self": (5000, 0.14, 0.71, 0.75),
+               "val": (13, 27.0, 68.0, 45.0)}
+        deriv = ("BASELINE.md pancreas band: pre 0.055-0.29 (0.33 "
+                 "central), self 0.14-0.71 (0.75 central) s/iter on "
+                 "2x RTX 3090 DataParallel; validation 13 pauses x 18 "
+                 "volumes x ~100 batch-1 windows at stride 18/4 "
+                 "(~45 s central)")
+    lo = sum(n * a for n, a, _b, _c in est.values())
+    hi = sum(n * b for n, _a, b, _c in est.values())
+    central = sum(n * c for n, _a, _b, c in est.values())
     artifact = {
         "metric": f"{v.upper()} full-schedule wall-clock ({schedule})",
         "total_wall_s": round(wall, 1),
@@ -119,12 +151,20 @@ def main():
         "hardware": "1x TPU v5e chip (axon tunnel)",
         "command": " ".join(cmd),
         "reference_counterpart": ref,
+        "reference_estimate_s": {
+            "band": [round(lo, 0), round(hi, 0)],
+            "central": round(central, 0),
+            "derivation": deriv,
+        },
+        "vs_reference_central": round(central / wall, 2),
+        "vs_reference_band": [round(lo / wall, 2), round(hi / wall, 2)],
         "notes": "The reference publishes no training throughput for "
-                 "this pipeline and BASELINE.md derives no GPU band for "
-                 "it, so no vs_reference multiplier is recorded; the "
-                 "artifact is the measured end-to-end TPU wall-clock "
-                 "(compiles, feed warm-up, validation and checkpoint "
-                 "pauses included) for the reference's full schedule.",
+                 "this pipeline; vs_reference compares against "
+                 "BASELINE.md's documented FLOP+MFU-band estimate "
+                 "(central at the pessimistic edge, as for LA). The "
+                 "measured end-to-end TPU wall-clock (compiles, feed "
+                 "warm-up, validation and checkpoint pauses included) "
+                 "is the hard number.",
     }
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)

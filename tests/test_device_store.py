@@ -143,6 +143,61 @@ def test_stacked_feed_matches_sequential(tmp_path_factory):
                                           err_msg=f"{key} sub-step {k}")
 
 
+def test_stacked_feed_matches_sequential_pancreas(tmp_path_factory):
+    """The K-stacked pancreas device feed (steps_per_dispatch under the
+    HBM cache, VERDICT r4 #2) yields per-sub-step batches identical to K
+    sequential draws of the same seed — incl. the a/b labeled streams'
+    per-sub-step RNG interleaving and the RNG-free center crops."""
+    root = synthetic.make_pancreas_dataset(
+        str(tmp_path_factory.mktemp("panc_stack")), shape=(40, 40, 40))
+    cfg = pancreas_config().replace(
+        root_path=root, patch_size=(24, 24, 24), mask_patch=8,
+        batch_size=8, labeled_bs=4, labeled_oversample=2,
+        device_data_cache=True, compute_dtype="float32")
+    K = 2
+    seq = BCPBatchFeeder(cfg, stage="self", seed=7)
+    singles = [next(seq) for _ in range(K)]
+    seq.close()
+    stk = BCPBatchFeeder(cfg, stage="self", seed=7, stack=K)
+    stacked = next(stk)
+    stk.close()
+    assert set(stacked) == set(singles[0])
+    for key in singles[0]:
+        got = np.asarray(stacked[key])
+        for k in range(K):
+            np.testing.assert_array_equal(got[k],
+                                          np.asarray(singles[k][key]),
+                                          err_msg=f"{key} sub-step {k}")
+
+
+def test_stacked_feed_matches_sequential_acdc(tmp_path_factory):
+    """The K-stacked ACDC device feed yields per-sub-step batches
+    identical to K sequential draws of the same seed, incl. the ulab_*
+    snapshot side-channels."""
+    from bcp_tpu.config import acdc_config
+    root = synthetic.make_acdc_dataset(
+        str(tmp_path_factory.mktemp("acdc_stack")), n_train_slices=40,
+        n_val=2, slice_shape=(40, 36))
+    cfg = acdc_config(labelnum=1).replace(
+        root_path=root, patch_size=(32, 32), batch_size=8, labeled_bs=4,
+        device_data_cache=True, compute_dtype="float32")
+    K = 3
+    seq = BCPBatchFeeder(cfg, stage="self", seed=5)
+    singles = [next(seq) for _ in range(K)]
+    seq.close()
+    stk = BCPBatchFeeder(cfg, stage="self", seed=5, stack=K)
+    stacked = next(stk)
+    stk.close()
+    assert set(stacked) == set(singles[0])
+    assert "ulab_a" in stacked
+    for key in singles[0]:
+        got = np.asarray(stacked[key])
+        for k in range(K):
+            np.testing.assert_array_equal(got[k],
+                                          np.asarray(singles[k][key]),
+                                          err_msg=f"{key} sub-step {k}")
+
+
 # ---------------------------------------------------------------------------
 # DeviceSliceStore (ACDC)
 

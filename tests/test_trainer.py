@@ -102,15 +102,20 @@ def test_resume_cannot_clobber_historical_best(tiny_cfg, two_stage_run,
     must not re-save {model}_best_model with a worse state."""
     root = _copy_snapshot(tiny_cfg, os.path.join(str(tmp_path), "clobber"))
     trainer = BCPTrainer(tiny_cfg, snapshot_root=root)
-    # plant a historical best far above anything 2 more steps can reach
+    # plant a historical best far above anything 3 more steps can reach
     os.makedirs(os.path.join(trainer.pre_dir, "iter_2_dice_0.99"))
     best = os.path.join(trainer.pre_dir, "VNet_best_model")
     mtime = os.path.getmtime(best)
-    cfg2 = tiny_cfg.replace(pre_iterations=8)
+    # resume to step 9 so a validation actually fires (eval_every=3):
+    # the measured dice is far below the planted 0.99, so the guard —
+    # not a skipped validation — is what keeps best_model untouched
+    cfg2 = tiny_cfg.replace(pre_iterations=9)
     trainer2 = BCPTrainer(cfg2, snapshot_root=root)
     dice, _ = trainer2.pretrain(resume=True)
     assert dice >= 0.99                      # historical best carried over
     assert os.path.getmtime(best) == mtime   # best model not re-saved
+    # the fired validation still refreshed the rolling `last` checkpoint
+    assert os.path.getmtime(os.path.join(trainer.pre_dir, "last")) > mtime
 
 
 def test_short_stage_still_saves_best(tiny_cfg, tmp_path):
@@ -124,6 +129,42 @@ def test_short_stage_still_saves_best(tiny_cfg, tmp_path):
     assert os.path.exists(pre_best)
     self_dice, _ = trainer.selftrain()
     assert 0.0 <= self_dice <= 1.0
+
+
+def test_async_val_matches_serialized(tiny_cfg, two_stage_run, tmp_path):
+    """Config.async_val's contract: overlapped validation produces the
+    identical best-dice / checkpoint sequence as the serialized loop —
+    same states validated (the eval-boundary snapshots), same comparison
+    order, same iter_{i}_dice_{d} tags (VERDICT r4 #1)."""
+    trainer_async, (pre_dice_async, _), _ = two_stage_run  # async default
+    assert tiny_cfg.async_val
+    sync_root = os.path.join(str(tmp_path), "sync")
+    trainer_sync = BCPTrainer(tiny_cfg.replace(async_val=False),
+                              snapshot_root=sync_root)
+    pre_dice_sync, _ = trainer_sync.pretrain()
+    assert pre_dice_sync == pytest.approx(pre_dice_async, abs=1e-6)
+
+    def tags(d):
+        return sorted(n for n in os.listdir(d) if n.startswith("iter_"))
+    assert tags(trainer_sync.pre_dir) == tags(trainer_async.pre_dir)
+    assert tags(trainer_sync.pre_dir)  # at least one validation fired
+    for d in (trainer_sync.pre_dir, trainer_async.pre_dir):
+        assert os.path.exists(os.path.join(d, "last"))
+
+
+def test_async_val_worker_error_surfaces():
+    """A job exception must re-raise in the training thread (drain), not
+    vanish in the worker."""
+    from bcp_tpu.train.trainer import _ValWorker
+    w = _ValWorker()
+    def boom():
+        raise RuntimeError("validation exploded")
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="validation exploded"):
+        w.drain()
+    w.submit(lambda: None)   # worker survives and keeps serving
+    w.drain()
+    w.close()
 
 
 def test_trainer_remat_runs(tiny_cfg):
