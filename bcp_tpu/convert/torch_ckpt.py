@@ -155,8 +155,11 @@ _MAPPINGS = {
 
 
 def _to_np(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
-                      else t, dtype=np.float32)
+    a = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    # f64 passes through unrounded (the train-fidelity gates convert
+    # double-precision models); everything else (f32/f16/bf16/int
+    # buffers) lands on f32 as before
+    return a if a.dtype == np.float64 else a.astype(np.float32)
 
 
 def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):

@@ -314,7 +314,10 @@ class TorchBatchNorm(nn.Module):
         # In merged layout the reduction runs in two stages: over
         # (batch, x, y) keeping the (z, c) lanes, then over z on the
         # tiny (G, Z, C) result — same equal-weight mean, no relayout.
-        xf32 = xg.astype(jnp.float32)
+        # promote_types keeps f64 intact when the net runs double
+        # precision (the train-fidelity gates); bf16/f32 still get f32
+        sdt = jnp.promote_types(jnp.float32, xg.dtype)
+        xf32 = xg.astype(sdt)
         mean_g = jnp.mean(xf32, axis=red)                # (G, [Z*]C)
         mean2_g = jnp.mean(jnp.square(xf32), axis=red)
         if merged_z:
@@ -322,10 +325,9 @@ class TorchBatchNorm(nn.Module):
             mean2_g = jnp.mean(mean2_g.reshape(G, zrep, C), axis=1)
         var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
         inv_g = jax.lax.rsqrt(var_g + self.epsilon)            # (G, C)
-        mul = (inv_g * scale[None].astype(jnp.float32)).astype(dtype)
-        add = (bias[None].astype(jnp.float32)
-               - mean_g * inv_g * scale[None].astype(
-                   jnp.float32)).astype(dtype)
+        mul = (inv_g * scale[None].astype(sdt)).astype(dtype)
+        add = (bias[None].astype(sdt)
+               - mean_g * inv_g * scale[None].astype(sdt)).astype(dtype)
         if merged_z:
             mul = jnp.tile(mul, (1, zrep))
             add = jnp.tile(add, (1, zrep))
@@ -335,10 +337,17 @@ class TorchBatchNorm(nn.Module):
 
         if not self.is_initializing():
             m = self.momentum
+            # torch folds the UNBIASED batch variance into running_var
+            # (Bessel N/(N-1)) while normalising with the biased one
+            count = 1
+            for a in red:
+                count *= xg.shape[a]
+            count *= zrep
+            var_u = var_g * (count / max(count - 1, 1))
             new_mean, new_var = ra_mean.value, ra_var.value
             for g in range(G):
                 new_mean = m * new_mean + (1 - m) * mean_g[g]
-                new_var = m * new_var + (1 - m) * var_g[g]
+                new_var = m * new_var + (1 - m) * var_u[g]
             ra_mean.value = new_mean
             ra_var.value = new_var
         return y

@@ -100,6 +100,7 @@ class UNet2D(nn.Module):
         x_last = UpBlock(ft[0], ft[0], dtype=self.dtype, groups=self.bn_groups, name="up4")(y, x0, train)
         logits = conv(self.n_classes, (3, 3), name="out_conv",
                       dtype=self.dtype)(x_last)
+        out_dt = jax.numpy.promote_types(jax.numpy.float32, logits.dtype)
         if self.expose_bottleneck:
-            return logits.astype(jax.numpy.float32), x_last, x4
-        return logits.astype(jax.numpy.float32), x_last
+            return logits.astype(out_dt), x_last, x4
+        return logits.astype(out_dt), x_last

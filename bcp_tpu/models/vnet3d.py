@@ -220,4 +220,7 @@ class VNet3D(nn.Module):
                 x9.ndim), name="dec_dropout")(x9, deterministic=not train)
         out_seg = conv(self.n_classes, (1, 1, 1), name="out_conv",
                        dtype=self.dtype)(x9)
-        return out_seg.astype(jnp.float32), x8_up
+        # promote: f32 logits for bf16/f32 compute, f64 stays f64 (the
+        # train-fidelity gates run the whole net double precision)
+        return out_seg.astype(jnp.promote_types(jnp.float32,
+                                                out_seg.dtype)), x8_up

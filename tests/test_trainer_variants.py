@@ -67,16 +67,16 @@ def test_pancreas_two_stage(pancreas_run):
 
 
 def test_acdc_steps_per_dispatch(acdc_run, tmp_path):
-    """steps_per_dispatch > 1 on the ACDC host feed: K=2 fused dispatch
-    through the self stage (the stacked host path shards nothing here —
-    single device — and the stage length is a K-multiple)."""
+    """steps_per_dispatch > 1 on the ACDC *device-cached* feed (the
+    round-5 newly-legal combination): K=2 fused dispatch through the
+    self stage, incl. the stacked ulab_* snapshot side-channels."""
     cfg = acdc_run[0]
     root = str(tmp_path / "snap")
     shutil.copytree(cfg.snapshot_root, root)
     # wipe the copied self stage so K=2 re-runs it from the pre hand-off
     run = f"{cfg.name}_{cfg.exp}_{cfg.labelnum}_labeled"
     shutil.rmtree(os.path.join(root, run, "self_train"))
-    cfg2 = cfg.replace(steps_per_dispatch=2)
+    cfg2 = cfg.replace(steps_per_dispatch=2, device_data_cache=True)
     trainer = BCPTrainer(cfg2, snapshot_root=root)
     self_dice, _ = trainer.selftrain()
     assert 0.0 <= self_dice <= 1.0
@@ -84,8 +84,9 @@ def test_acdc_steps_per_dispatch(acdc_run, tmp_path):
 
 
 def test_pancreas_steps_per_dispatch(pancreas_run, tmp_path):
-    """K=2 fused dispatch on the pancreas host feed, with the epoch
-    meters consuming the leading-stacked metrics per sub-step."""
+    """K=2 fused dispatch on the pancreas *device-cached* feed (the
+    round-5 newly-legal combination), with the epoch meters consuming
+    the leading-stacked metrics per sub-step."""
     cfg = pancreas_run[0]
     root = str(tmp_path / "snap")
     shutil.copytree(cfg.snapshot_root, root)
@@ -93,7 +94,7 @@ def test_pancreas_steps_per_dispatch(pancreas_run, tmp_path):
     shutil.rmtree(os.path.join(root, run, "self_train"))
     # stage length and eval cadence must be K-multiples
     cfg2 = cfg.replace(steps_per_dispatch=2, self_iterations=4,
-                       eval_every=2)
+                       eval_every=2, device_data_cache=True)
     trainer = BCPTrainer(cfg2, snapshot_root=root)
     self_dice, _ = trainer.selftrain()
     assert 0.0 <= self_dice <= 1.0
