@@ -45,13 +45,24 @@ def parse_stage_log(path: str):
             if m:
                 out = {k: (v if k == "stage" else float(v))
                        for k, v in m.groupdict().items()}
-            m2 = re.match(r"\[(\d+:\d+:\d+)\.(\d+)\] iteration (\d+) ",
-                          line)
+            # LA/ACDC stages log "iteration N : ..." per step; the
+            # pancreas stages keep the reference's per-iteration meter
+            # line "Epoch : E, mix_loss_lab: ..." (train_pancreas.py's
+            # print format) — one line per iteration either way.
+            m2 = re.match(
+                r"\[(\d+:\d+:\d+)\.(\d+)\] (?:iteration (\d+) |Epoch : )",
+                line)
             if m2:
                 h, mi, s = m2.group(1).split(":")
-                ts.append((int(m2.group(3)),
+                it = int(m2.group(3)) if m2.group(3) else len(ts) + 1
+                ts.append((it,
                            int(h) * 3600 + int(mi) * 60 + int(s)
                            + int(m2.group(2)) / 1000.0))
+    # Aggregate into ~100-iteration blocks before taking percentiles:
+    # with steps_per_dispatch K the K per-iteration lines flush at once,
+    # so consecutive-line deltas are 0 within a burst — block averages
+    # are stable for any K.
+    ts = ts[::100] + ts[-1:] if len(ts) > 100 else ts
     blocks = []
     for (i0, t0), (i1, t1) in zip(ts, ts[1:]):
         if t1 < t0:          # %H:%M:%S wraps at midnight
