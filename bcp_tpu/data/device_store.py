@@ -197,6 +197,21 @@ class DeviceSliceStore:
       boundary can pick the adjacent source pixel. Measured mismatch is
       O(1e-5) of pixels (tests pin < 1e-3); scipy itself varies at these
       boundaries across versions.
+
+    Kernel shape (performance): all three modes reduce to ONE composed
+    per-pixel gather at the 256x256 output resolution. The rotate mode's
+    coordinate map is evaluated at the zoom's (integer) source indices —
+    ``out[i,j] = img[rot_map(zoom_i(i), zoom_j(j))]`` — which is
+    bit-identical to rotating the full native frame and then zooming
+    (the zoom only ever *reads* rotated pixels at those same integer
+    indices, and the coordinate arithmetic sees identical f32 inputs).
+    This halves the gathered element count vs a materialised rotate +
+    zoom pipeline and skips the intermediate (hmax, wmax) buffers.
+    Nearest-neighbour augmentation only moves values — it never
+    interpolates — so gathering from a ``img_dtype`` (bf16) store and
+    casting nothing afterwards is bit-identical to gathering f32 and
+    casting at the end; the store therefore holds ``img_dtype`` pixels
+    and the gather moves half the bytes.
     """
 
     def __init__(self, images, labels, out_size=(256, 256),
@@ -215,10 +230,13 @@ class DeviceSliceStore:
         self.out_size = out_size
         self.shapes = shapes
         self.img_dtype = img_dtype
-        # store f32: nearest-neighbour augmentation passes values through
-        # untouched, so the bf16 cast happens once, after augmentation,
-        # exactly like the host feed's post-transform wire cast
-        self.images = jax.device_put(imgs)
+        # nearest-neighbour augmentation passes values through untouched,
+        # so casting to the wire dtype at upload is bit-identical to the
+        # host feed's post-transform cast — and the gather moves half the
+        # bytes (see class docstring)
+        self.images = jax.device_put(
+            imgs.astype(np.dtype(img_dtype) if img_dtype is not None
+                        else np.float32))
         self.labels = jax.device_put(labs)
         self._aug_fn = self._build_aug_fn(hmax, wmax)
 
@@ -233,47 +251,25 @@ class DeviceSliceStore:
     # ------------------------------------------------------------------
     def _build_aug_fn(self, hmax, wmax):
         oh, ow = self.out_size
-        img_dtype = self.img_dtype
 
         def zoom_idx(n_in, n_out):
             # floor(i*(n_in-1)/(n_out-1) + 0.5) in exact int32 arithmetic
             i = jnp.arange(n_out, dtype=jnp.int32)
             return (2 * i * (n_in - 1) + (n_out - 1)) // (2 * (n_out - 1))
 
-        def one(img, lab, h, w, mode, k, flip, angle):
+        def source_map(h, w, mode, k, flip, angle):
+            """Composed per-pixel source indices (ri, rj) + inside mask
+            at output resolution: exact zoom -> inverse flip -> inverse
+            rot90 -> (mode 2) nearest rotate, all in index space."""
             hf = h.astype(jnp.float32)
             wf = w.astype(jnp.float32)
-            # --- stage A: nearest rotate at native shape (mode 2) ------
-            # `ndimage.rotate(x, a, reshape=False, order=0)`:
-            # out(i,j) <- in(R @ (o - c_out) + c_in), c_out = c_in =
-            # ((h-1)/2, (w-1)/2), R = [[cos,sin],[-sin,cos]]
-            a = angle.astype(jnp.float32) * (np.pi / 180.0)
-            c, s = jnp.cos(a), jnp.sin(a)
-            ci0, cj0 = (hf - 1) / 2, (wf - 1) / 2
-            oi = jnp.arange(hmax, dtype=jnp.float32)[:, None]
-            oj = jnp.arange(wmax, dtype=jnp.float32)[None, :]
-            src_i = c * (oi - ci0) + s * (oj - cj0) + ci0
-            src_j = -s * (oi - ci0) + c * (oj - cj0) + cj0
-            inside = ((src_i >= 0) & (src_i <= hf - 1)
-                      & (src_j >= 0) & (src_j <= wf - 1))
-            ri = jnp.clip(jnp.floor(src_i + 0.5).astype(jnp.int32),
-                          0, hmax - 1)
-            rj = jnp.clip(jnp.floor(src_j + 0.5).astype(jnp.int32),
-                          0, wmax - 1)
-            rot_img = jnp.where(inside, img[ri, rj], 0.0)
-            rot_lab = jnp.where(inside, lab[ri, rj], 0)
-            src_img = jnp.where(mode == 2, rot_img, img)
-            src_lab = jnp.where(mode == 2, rot_lab, lab)
-
-            # --- stage B: rot90/flip (index permutations) + exact zoom -
+            # --- exact zoom indices in the post-rot90 frame ------------
             rotflip = mode == 1
             swap = rotflip & (k % 2 == 1)
             h2 = jnp.where(swap, w, h)
             w2 = jnp.where(swap, h, w)
-            zi = zoom_idx(h2, oh)[:, None]          # rotated-frame rows
-            zj = zoom_idx(w2, ow)[None, :]          # rotated-frame cols
-            zi = jnp.broadcast_to(zi, (oh, ow))
-            zj = jnp.broadcast_to(zj, (oh, ow))
+            zi = jnp.broadcast_to(zoom_idx(h2, oh)[:, None], (oh, ow))
+            zj = jnp.broadcast_to(zoom_idx(w2, ow)[None, :], (oh, ow))
             # invert the flip (applied after rot90, in the rotated frame)
             fi = jnp.where(rotflip & (flip == 0), h2 - 1 - zi, zi)
             fj = jnp.where(rotflip & (flip == 1), w2 - 1 - zj, zj)
@@ -285,14 +281,42 @@ class DeviceSliceStore:
             sj = jnp.select(
                 [k_eff == 0, k_eff == 1, k_eff == 2, k_eff == 3],
                 [fj, w - 1 - fi, w - 1 - fj, fi])
-            return src_img[si, sj], src_lab[si, sj]
+            # --- mode 2: nearest rotate, evaluated AT the zoom indices -
+            # `ndimage.rotate(x, a, reshape=False, order=0)`:
+            # out(i,j) <- in(R @ (o - c) + c), c = ((h-1)/2, (w-1)/2),
+            # R = [[cos,sin],[-sin,cos]]. (si, sj) are exact integers, so
+            # the f32 coordinate arithmetic is bit-identical to running
+            # it on the full native grid and then gathering.
+            a = angle.astype(jnp.float32) * (np.pi / 180.0)
+            c, s = jnp.cos(a), jnp.sin(a)
+            ci0, cj0 = (hf - 1) / 2, (wf - 1) / 2
+            sif = si.astype(jnp.float32)
+            sjf = sj.astype(jnp.float32)
+            src_i = c * (sif - ci0) + s * (sjf - cj0) + ci0
+            src_j = -s * (sif - ci0) + c * (sjf - cj0) + cj0
+            inside = ((src_i >= 0) & (src_i <= hf - 1)
+                      & (src_j >= 0) & (src_j <= wf - 1))
+            ri = jnp.clip(jnp.floor(src_i + 0.5).astype(jnp.int32),
+                          0, hmax - 1)
+            rj = jnp.clip(jnp.floor(src_j + 0.5).astype(jnp.int32),
+                          0, wmax - 1)
+            rot = mode == 2
+            return (jnp.where(rot, ri, si), jnp.where(rot, rj, sj),
+                    jnp.where(rot, inside, True))
+
+        def one(img, lab, h, w, mode, k, flip, angle):
+            ri, rj, inside = source_map(h, w, mode, k, flip, angle)
+            img_out = jnp.where(inside, img[ri, rj],
+                                jnp.zeros((), img.dtype))
+            lab_out = jnp.where(inside, lab[ri, rj], 0)
+            return img_out, lab_out
 
         @jax.jit
         def aug_batch(images, labels, idx, hs, ws, modes, ks, flips,
                       angles):
             img, lab = jax.vmap(one)(images[idx], labels[idx], hs, ws,
                                      modes, ks, flips, angles)
-            return img[..., None].astype(img_dtype), lab
+            return img[..., None], lab
 
         return aug_batch
 
