@@ -107,6 +107,14 @@ class Config:
     # reference behaviour: the loop blocks through each validation
     # (`LA_BCP_train.py:173-187,278-292`).
     async_val: bool = True
+    # Validation jobs allowed in flight before an eval boundary blocks
+    # (each holds one on-device state snapshot of HBM). 1 serializes
+    # consecutive sweeps; 2 keeps a fast stage (pre-train's 200-step
+    # windows are shorter than one LA validation sweep) from exposing
+    # the worker as the critical path. Job ORDER is depth-independent,
+    # so the validated states / best-dice / checkpoint sequence is
+    # unchanged.
+    async_val_depth: int = 2
     # fetch+log step metrics every N steps. 1 = reference behaviour (logs
     # every iteration); each fetch synchronises with the device, so >1
     # lets consecutive steps pipeline (~10% faster on tunneled backends).

@@ -57,7 +57,7 @@ class BCPBatchFeeder:
 
     def __init__(self, cfg: Config, stage: str, seed: Optional[int] = None,
                  sharding=None, prefetch: int = 2, data_scale: int = 1,
-                 stack: int = 1):
+                 stack: int = 1, store_cache: Optional[dict] = None):
         """``data_scale`` widens every stream by the data-parallel factor
         (global batch = reference batch x mesh size; parallel/mesh.py) —
         epoch pacing shrinks accordingly.
@@ -66,7 +66,14 @@ class BCPBatchFeeder:
         leading-stacked pytree for the K-step fused train program
         (`Config.steps_per_dispatch`): the index streams are consumed in
         the exact K=1 order, so batch content per sub-step is identical —
-        only the host/device hand-off is amortised."""
+        only the host/device hand-off is amortised.
+
+        ``store_cache``: optional dict shared across feeders of the same
+        run. The device-resident store is a pure function of (variant,
+        dataset, patch) — identical for the pre and self stages — and
+        uploading it through a tunneled runtime costs minutes, so the
+        trainer passes one cache and the second stage reuses the first
+        stage's store instead of re-reading + re-uploading it."""
         self.cfg = cfg
         self.stage = stage
         self.sharding = sharding
@@ -80,6 +87,8 @@ class BCPBatchFeeder:
         self._store = None
         self._lab_store = None
         self._unlab_store = None
+        self._store_cache = store_cache if store_cache is not None else {}
+        self.store_init_s = 0.0
         if cfg.device_data_cache and (sharding is not None
                                       or self.scale > 1):
             raise ValueError("device_data_cache is a single-device "
@@ -154,31 +163,48 @@ class BCPBatchFeeder:
 
     # -- device-resident volume store -----------------------------------
     def _init_device_store(self):
+        import time
+
         import jax.numpy as jnp
         from bcp_tpu.data.device_store import (DeviceSliceStore,
                                                DeviceVolumeStore)
         cfg = self.cfg
         dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                  else jnp.float32)
+        t0 = time.time()
+
+        def get(key, build):
+            store = self._store_cache.get(key)
+            if store is None:
+                store = build()
+                self._store_cache[key] = store
+            return store
+
         if cfg.variant == "la":
-            self._store = DeviceVolumeStore.from_dataset(
-                self.dataset, range(len(self.dataset)), cfg.patch_size,
-                pad_extra=3, img_dtype=dtype)
+            self._store = get("store", lambda: (
+                DeviceVolumeStore.from_dataset(
+                    self.dataset, range(len(self.dataset)), cfg.patch_size,
+                    pad_extra=3, img_dtype=dtype)))
         elif cfg.variant == "acdc":
-            self._store = DeviceSliceStore.from_dataset(
-                self.dataset, range(len(self.dataset)), cfg.patch_size,
-                img_dtype=dtype)
+            self._store = get("store", lambda: (
+                DeviceSliceStore.from_dataset(
+                    self.dataset, range(len(self.dataset)), cfg.patch_size,
+                    img_dtype=dtype)))
         elif cfg.variant == "pancreas":
-            n_lab = len(self.lab_a.rel_paths)
-            self._lab_store = DeviceVolumeStore.from_dataset(
-                self.lab_a, range(n_lab), cfg.patch_size, pad_extra=1,
-                img_dtype=dtype)
-            n_unlab = len(self.unlab_a.rel_paths)
-            self._unlab_store = DeviceVolumeStore.from_dataset(
-                self.unlab_a, range(n_unlab), cfg.patch_size, pad_extra=1,
-                img_dtype=dtype)
+            self._lab_store = get("lab", lambda: (
+                DeviceVolumeStore.from_dataset(
+                    self.lab_a, range(len(self.lab_a.rel_paths)),
+                    cfg.patch_size, pad_extra=1, img_dtype=dtype)))
+            # only the self stage reads the unlabeled store; the pre
+            # stage must not pay its (tunnel-bound) upload
+            if self.stage == "self":
+                self._unlab_store = get("unlab", lambda: (
+                    DeviceVolumeStore.from_dataset(
+                        self.unlab_a, range(len(self.unlab_a.rel_paths)),
+                        cfg.patch_size, pad_extra=1, img_dtype=dtype)))
         else:
             raise ValueError("device_data_cache supports la/acdc/pancreas")
+        self.store_init_s = time.time() - t0
 
     def _build_device(self):
         cfg = self.cfg

@@ -58,11 +58,19 @@ class _ValWorker:
     the serialized loop — only the training loop no longer waits. The
     reference validates inline, pausing training for the whole sweep
     (`LA_BCP_train.py:173-187,278-292`); on the tunneled v5e those
-    pauses were 43%/22% of the r4 LA stage wall-clocks."""
+    pauses were 43%/22% of the r4 LA stage wall-clocks.
 
-    def __init__(self):
+    ``depth`` bounds the jobs in flight (and so the live state
+    snapshots holding HBM): a submit blocks only while ``depth`` jobs
+    are still unfinished. Depth > 1 keeps fast stages from exposing a
+    slow validation sweep — pre-train's 200-step windows are shorter
+    than one LA sweep, so depth 1 made the worker the critical path
+    there (31% of the r5-first-cut pre-train wall)."""
+
+    def __init__(self, depth: int = 1):
         self._q: queue.Queue = queue.Queue()
         self._err: Optional[BaseException] = None
+        self._slots = threading.BoundedSemaphore(max(int(depth), 1))
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -75,14 +83,20 @@ class _ValWorker:
             except BaseException as e:  # surfaced at the next drain
                 self._err = e
             finally:
+                if job is not None:
+                    self._slots.release()
                 self._q.task_done()
             if job is None:
                 return
 
     def submit(self, job) -> None:
-        """Queue a job, first waiting out any job still in flight (≤1
-        outstanding snapshot bounds HBM; validations stay sequential)."""
-        self.drain()
+        """Queue a job, waiting until fewer than ``depth`` are still in
+        flight (bounds HBM; jobs themselves stay strictly sequential).
+        Re-raises a previous job's error instead of queueing onto it."""
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._slots.acquire()
         self._q.put(job)
 
     def drain(self) -> None:
@@ -165,6 +179,10 @@ class BCPTrainer:
                                        **extra)
         self.ckpt = CheckpointIO()
         self._val_cases: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+        # device-store cache shared by the pre/self feeders: the store is
+        # stage-independent and its upload costs minutes on a tunneled
+        # runtime — pay it once per run, not once per stage
+        self._feed_store_cache: dict = {}
         # eval shards window/slice *batches*: the evaluators themselves
         # flatten a 2-D (data, space) train mesh onto one batch axis
         if cfg.dims == 3:
@@ -301,8 +319,10 @@ class BCPTrainer:
         else:
             step_fn = make_selftrain_step(self.model, tx, cfg, n_steps=K)
         feeder = BCPBatchFeeder(cfg, stage, sharding=self.sharding,
-                                data_scale=self.data_scale, stack=K)
-        logger.info("%d iterations per epoch", feeder.steps_per_epoch)
+                                data_scale=self.data_scale, stack=K,
+                                store_cache=self._feed_store_cache)
+        logger.info("%d iterations per epoch (device-store init %.1fs)",
+                    feeder.steps_per_epoch, feeder.store_init_s)
 
         if cfg.debug_nans:
             # SURVEY.md §5 "race detection/sanitizers absent" -> the
@@ -326,7 +346,10 @@ class BCPTrainer:
             """Validate one state + write its checkpoints — the body of
             the reference's eval boundary (`LA_BCP_train.py:173-187`).
             Runs inline (async_val=False) or on the _ValWorker."""
+            tv = time.time()
             dice_sample = self.validate(v_state)
+            t_eval = time.time() - tv
+            tc = time.time()
             if dice_sample > best["dice"]:
                 best["dice"] = round(dice_sample, 4)
                 tagged = os.path.join(
@@ -337,8 +360,27 @@ class BCPTrainer:
             else:
                 self.ckpt.save(last_path, v_state)
             self._val_tags(writer, stage, dice_sample, best["dice"], v_it)
+            logger.info("validation@%d: dice %.4f (eval %.2fs, "
+                        "ckpt %.2fs)", v_it, dice_sample, t_eval,
+                        time.time() - tc)
 
-        val_worker = _ValWorker() if cfg.async_val else None
+        def snapshot_state(s: TrainState) -> TrainState:
+            # the next step donates (and so deletes) the state's buffers:
+            # each job must own a fresh on-device copy
+            return jax.tree_util.tree_map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                s)
+
+        val_worker = (_ValWorker(cfg.async_val_depth) if cfg.async_val
+                      else None)
+        if val_worker is not None:
+            # Warm the evaluator while the first train dispatch compiles:
+            # upload the (cached) validation volumes and compile the eval
+            # program off the critical path, so the first eval boundary's
+            # job doesn't carry them. Discards the dice; touches no
+            # best/checkpoint state.
+            warm_snap = snapshot_state(state)
+            val_worker.submit(lambda: (self.validate(warm_snap), None)[1])
         def emit_metrics(first_it: int, metrics) -> None:
             """Fetch + log metrics — one step's scalars, or a
             steps_per_dispatch group's leading-stacked scalars, emitted
@@ -466,12 +508,8 @@ class BCPTrainer:
                     pending = None
                 tv0 = time.time()
                 if val_worker is not None:
-                    # the next step donates (and so deletes) the state's
-                    # buffers: the job validates its own on-device copy
-                    snap = jax.tree_util.tree_map(
-                        lambda x: jnp.copy(x) if isinstance(x, jax.Array)
-                        else x, state)
-                    val_worker.submit(partial(run_validation, it, snap))
+                    val_worker.submit(partial(run_validation, it,
+                                              snapshot_state(state)))
                 else:
                     run_validation(it, state)
                 # exposed pause only: the snapshot copy + any wait for a
