@@ -44,10 +44,25 @@ def jaccard_binary(result, reference) -> float:
     return inter / union
 
 
+# Above this many border voxels a full-volume EDT beats the KD-tree
+# (O(V) with a small constant vs O(P log P)); typical anatomical borders
+# are a few thousand voxels, far below it.
+_KDTREE_MAX_PTS = 200_000
+
+
 def _surface_distances(result, reference, voxelspacing=None,
                        connectivity: int = 1) -> np.ndarray:
     """medpy ``__surface_distances``: distances from result-border voxels
-    to the reference border."""
+    to the reference border.
+
+    medpy samples ``distance_transform_edt(~reference_border)`` at the
+    result border; for each border voxel that is by definition the exact
+    Euclidean distance to its nearest reference-border voxel, so a
+    KD-tree nearest-neighbour query over the (sparse) border point sets
+    returns the same float64 values without the O(volume) transform —
+    the training-validation host path is dominated by this kernel
+    (ACDC: 3 classes x 2 directions x 20 volumes per sweep,
+    `val_2d.py:30-37`). Dense borders fall back to the EDT."""
     result, reference = _as_bool(result), _as_bool(reference)
     if not result.any() or not reference.any():
         raise ValueError("surface distances need non-empty masks")
@@ -56,9 +71,21 @@ def _surface_distances(result, reference, voxelspacing=None,
         result, structure=footprint, iterations=1)
     reference_border = reference ^ ndimage.binary_erosion(
         reference, structure=footprint, iterations=1)
-    dt = ndimage.distance_transform_edt(~reference_border,
-                                        sampling=voxelspacing)
-    return dt[result_border]
+    r_pts = np.argwhere(result_border)
+    ref_pts = np.argwhere(reference_border)
+    if len(r_pts) + len(ref_pts) > _KDTREE_MAX_PTS:
+        dt = ndimage.distance_transform_edt(~reference_border,
+                                            sampling=voxelspacing)
+        return dt[result_border]
+    if voxelspacing is not None:
+        sp = np.asarray(voxelspacing, dtype=np.float64)
+        if sp.ndim == 0:
+            sp = np.full(result.ndim, float(sp))
+        r_pts = r_pts * sp
+        ref_pts = ref_pts * sp
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(ref_pts).query(r_pts, k=1)
+    return np.asarray(d, dtype=np.float64)
 
 
 def hd95(result, reference, voxelspacing=None) -> float:

@@ -113,6 +113,28 @@ def test_surface_distances_match_brute_force_oracle():
         np.percentile(np.hstack((d1, d2)), 95), abs=1e-12)
 
 
+def test_surface_distances_kdtree_equals_edt_fallback(monkeypatch):
+    """The KD-tree fast path and the dense-border EDT fallback are the
+    same function: random blobby masks, isotropic + anisotropic spacing,
+    element-exact to float rounding."""
+    from bcp_tpu.eval import metrics as M
+    rng = np.random.default_rng(7)
+    zz, yy, xx = np.ogrid[:8, :40, :36]
+    for _ in range(3):
+        c = rng.integers(2, 6), rng.integers(10, 30), rng.integers(10, 26)
+        a = ((zz - c[0]) ** 2 / 5 + (yy - c[1]) ** 2 / 60
+             + (xx - c[2]) ** 2 / 40) < 1
+        b = ((zz - c[0] - 1) ** 2 / 4 + (yy - c[1] - 3) ** 2 / 50
+             + (xx - c[2] + 2) ** 2 / 55) < 1
+        for vs in (None, (5.0, 1.25, 1.25)):
+            d_kd = M._surface_distances(a, b, vs)
+            monkeypatch.setattr(M, "_KDTREE_MAX_PTS", 0)
+            d_edt = M._surface_distances(a, b, vs)
+            monkeypatch.undo()
+            assert d_kd.shape == d_edt.shape
+            np.testing.assert_allclose(d_kd, d_edt, rtol=0, atol=1e-12)
+
+
 def test_hd95_zero_for_identical():
     m = np.zeros((8, 8), bool)
     m[2:6, 2:6] = True
