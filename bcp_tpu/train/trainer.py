@@ -129,6 +129,15 @@ class BCPTrainer:
         self.cfg = cfg
         self.log_images = log_images
         self._snapshot_fns = {}
+        # kill -USR1 <pid> dumps all thread stacks to stderr: long runs
+        # through the tunneled runtime can wedge inside an RPC with zero
+        # CPU and no log line, and this is the only way to see where
+        try:
+            import faulthandler
+            import signal
+            faulthandler.register(signal.SIGUSR1, all_threads=True)
+        except Exception:
+            pass
         from bcp_tpu.parallel import make_mesh, stream_sharding
         self.mesh = None
         self.sharding = None
@@ -373,14 +382,21 @@ class BCPTrainer:
 
         val_worker = (_ValWorker(cfg.async_val_depth) if cfg.async_val
                       else None)
+        warm_job = None
         if val_worker is not None:
-            # Warm the evaluator while the first train dispatch compiles:
-            # upload the (cached) validation volumes and compile the eval
-            # program off the critical path, so the first eval boundary's
-            # job doesn't carry them. Discards the dice; touches no
-            # best/checkpoint state.
+            # Warm the evaluator off the critical path: upload the
+            # (cached) validation volumes and compile the eval program so
+            # the first eval boundary's job doesn't carry them. Discards
+            # the dice; touches no best/checkpoint state. The snapshot is
+            # taken NOW (the first step donates these buffers) but the
+            # job is submitted only after the first step_fn call returns:
+            # jit blocks through the (minutes-long) train-step compile,
+            # and overlapping the worker's eval fetches with that compile
+            # RPC wedged the tunneled runtime (r5: self-train hung at
+            # stage start; execution-overlap at eval boundaries has been
+            # safe for two rounds, compile-overlap had never been hit).
             warm_snap = snapshot_state(state)
-            val_worker.submit(lambda: (self.validate(warm_snap), None)[1])
+            warm_job = lambda: (self.validate(warm_snap), None)[1]  # noqa: E731
         def emit_metrics(first_it: int, metrics) -> None:
             """Fetch + log metrics — one step's scalars, or a
             steps_per_dispatch group's leading-stacked scalars, emitted
@@ -463,6 +479,11 @@ class BCPTrainer:
                 # keys are derived in-graph: fold_in(base_key, itk + j)
                 state, metrics = step_fn(state, batch, base_key,
                                           jnp.int32(itk))
+            if warm_job is not None:
+                # first dispatch done compiling (jit blocked through it);
+                # execution is async, so the warmup still overlaps it
+                val_worker.submit(warm_job)
+                warm_job = None
             # One-step-deferred metric processing: fetch the previous
             # dispatch's scalars only after this one is dispatched, so
             # the host<->device round-trip overlaps device compute
