@@ -354,7 +354,13 @@ class BCPTrainer:
         def run_validation(v_it: int, v_state: TrainState) -> None:
             """Validate one state + write its checkpoints — the body of
             the reference's eval boundary (`LA_BCP_train.py:173-187`).
-            Runs inline (async_val=False) or on the _ValWorker."""
+            Runs inline (async_val=False) or on the _ValWorker. The
+            best-dice decision is made here, in validation order; only
+            the checkpoint I/O (device fetch + disk write) is handed to
+            the chained ckpt worker so validation v+1 overlaps the
+            writes of validation v — in the r5 LA pre-train, eval+ckpt
+            (~44 s serial) exceeded the 29.6 s of compute between eval
+            boundaries, backing the queue up into the train loop."""
             tv = time.time()
             dice_sample = self.validate(v_state)
             t_eval = time.time() - tv
@@ -363,11 +369,15 @@ class BCPTrainer:
                 best["dice"] = round(dice_sample, 4)
                 tagged = os.path.join(
                     out_dir, f"iter_{v_it}_dice_{best['dice']}")
-                self.ckpt.save_many([tagged, best_path, last_path],
-                                    v_state)
+                io_job = partial(self.ckpt.save_many,
+                                 [tagged, best_path, last_path], v_state)
                 logger.info("save best model to %s", tagged)
             else:
-                self.ckpt.save(last_path, v_state)
+                io_job = partial(self.ckpt.save, last_path, v_state)
+            if ckpt_worker is not None:
+                ckpt_worker.submit(io_job)
+            else:
+                io_job()
             self._val_tags(writer, stage, dice_sample, best["dice"], v_it)
             logger.info("validation@%d: dice %.4f (eval %.2fs, "
                         "ckpt %.2fs)", v_it, dice_sample, t_eval,
@@ -382,6 +392,10 @@ class BCPTrainer:
 
         val_worker = (_ValWorker(cfg.async_val_depth) if cfg.async_val
                       else None)
+        # second ordered stage of the validation pipeline: checkpoint
+        # writes of validation v run while validation v+1 evaluates
+        ckpt_worker = (_ValWorker(cfg.async_val_depth)
+                       if val_worker is not None else None)
         warm_job = None
         if val_worker is not None:
             # Warm the evaluator off the critical path: upload the
@@ -545,9 +559,11 @@ class BCPTrainer:
         if val_worker is not None:
             tv0 = time.time()
             try:
-                val_worker.drain()
+                val_worker.drain()      # may still submit ckpt jobs...
+                ckpt_worker.drain()     # ...so drain the I/O stage after
             finally:
                 val_worker.close()
+                ckpt_worker.close()
             val_seconds += time.time() - tv0
         best_dice = best["dice"]
 
